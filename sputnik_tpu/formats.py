@@ -1,0 +1,499 @@
+"""Sparse matrix formats and metadata transforms (pure JAX, all jittable).
+
+This is the TPU-native equivalent of the reference's argument layer and
+format utilities:
+
+  * ``BlockSparseMatrix``  ~ reference ``sputnik/block/arguments.h:48-153``
+    (``BlockMatrix`` descriptor: rows, cols, nonzeros, block_size + device
+    pointers data/offsets/indices + transpose metadata
+    offsets_t/indices_t/block_offsets + row_indices).
+  * ``CsrMatrix``          ~ upstream-Sputnik CSR descriptor
+    (``sputnik/matrix_utils.h``), required by the north star.
+  * ``transpose metadata`` ~ reference ``block/transpose/transpose.cu:68-125``
+    — there it is a host-side PoC with a D2H/H2D round trip; here it is a
+    handful of jitted argsort/cumsum ops that never leave the device.
+  * ``row indices``        ~ reference ``block/row_indices/row_indices.cu``
+    (expand CSR offsets to a per-nonzero row id).
+  * ``block position map`` ~ reference ``block/bitmask/bitmask.cu`` — the
+    dense bit-matrix used by the sparse x sparse index merge. On TPU we keep
+    an int32 position matrix with -1 sentinels instead of a packed bitmask:
+    SMEM indices are 32-bit anyway and the position lookup merges the
+    reference's two structures (bitmask + block_offsets) into one.
+
+Conventions (the "BSR contract" from the reference, SURVEY.md section 2.1):
+  * ``offsets[i]``  int32 prefix-sum of nonzero blocks per block-row,
+    ``offsets[0] == 0``, ``offsets[-1] == nnz_blocks``.
+  * ``indices[j]``  int32 block-column id of nonzero block ``j``. Indices
+    within a row MAY be unordered (the reference's tests shuffle them).
+  * ``data``        ``(nnz_blocks, bs, bs)`` blocks stored contiguously in
+    block-row order, row-major within a block.
+  * Padding blocks are legal: zero-valued blocks with a valid duplicate
+    (row, col) — computation simply adds zero (reference
+    ``matrix_utils.cu:272-282`` uses the same convention).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+__all__ = [
+    "BlockSparseMatrix",
+    "CsrMatrix",
+    "bsr_from_dense",
+    "bsr_to_dense",
+    "csr_from_dense",
+    "csr_to_dense",
+    "build_transpose_metadata",
+    "row_indices_from_offsets",
+    "block_position_map",
+    "sorted_row_swizzle",
+]
+
+
+# ---------------------------------------------------------------------------
+# Metadata transforms (pure functions)
+# ---------------------------------------------------------------------------
+
+
+def row_indices_from_offsets(offsets: Array, nnz: int) -> Array:
+    """Expand CSR-style ``offsets`` into a per-nonzero row id vector.
+
+    TPU-native version of reference ``block/row_indices/row_indices.cu:7-19``
+    (there: one CUDA block per row writing int16 ids; here: a single
+    searchsorted, jittable, int32).
+    """
+    if nnz == 0:
+        return jnp.zeros((0,), jnp.int32)
+    # row of nonzero j = number of row starts <= j, minus one.
+    return (
+        jnp.searchsorted(offsets, jnp.arange(nnz, dtype=offsets.dtype), side="right")
+        .astype(jnp.int32)
+        - 1
+    )
+
+
+def build_transpose_metadata(
+    offsets: Array, indices: Array, n_cols_b: int
+) -> Tuple[Array, Array, Array]:
+    """Build (offsets_t, indices_t, block_offsets) for transposed iteration.
+
+    Values are never moved — like the reference (``transpose.cu:68-125``),
+    only an index indirection is produced:
+      * ``block_offsets[s]`` physical position in ``data`` of the s-th block
+        when iterating in column-major order (stable argsort by column id),
+      * ``indices_t[s]``     the block-row id of that block,
+      * ``offsets_t[c]``     prefix-sum of blocks per block-column.
+
+    Unlike the reference's host-side PoC (D2H, host argsort, H2D — a
+    serialization point called out at ``transpose.cu:68``), this is pure
+    jittable JAX and runs on device.
+    """
+    nnz = indices.shape[0]
+    row_ids = row_indices_from_offsets(offsets, nnz)
+    order = jnp.argsort(indices, stable=True).astype(jnp.int32)
+    indices_t = row_ids[order]
+    counts = jnp.zeros((n_cols_b,), jnp.int32).at[indices].add(1)
+    offsets_t = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)]
+    )
+    return offsets_t, indices_t, order
+
+
+def block_position_map(
+    offsets: Array, indices: Array, n_rows_b: int, n_cols_b: int
+) -> Array:
+    """Dense ``(n_rows_b, n_cols_b)`` int32 map: block position or -1.
+
+    ``pos[r, c]`` = index into ``data`` of block (r, c), or -1 when absent.
+    This subsumes the reference's bitmask (``bitmask.cu``, presence) and
+    ``block_offsets`` (position) in one structure; the sparse x sparse
+    kernel derives validity as ``pos >= 0``.
+    """
+    nnz = indices.shape[0]
+    row_ids = row_indices_from_offsets(offsets, nnz)
+    pos = jnp.full((n_rows_b, n_cols_b), -1, jnp.int32)
+    if nnz == 0:
+        return pos
+    # Padding blocks duplicate a (row, col) slot; `.max` keeps a valid id.
+    return pos.at[row_ids, indices].max(jnp.arange(nnz, dtype=jnp.int32))
+
+
+def sorted_row_swizzle(offsets: Array) -> Array:
+    """Argsort block-rows by descending nonzero count.
+
+    The classic Sputnik load-balance trick (reference
+    ``matrix_utils.cu:348-363`` ``SortedRowSwizzle``): schedule long rows
+    first. On TPU this orders row-tiles of CSR kernels so the sequential
+    grid sweep retires imbalanced rows early.
+    """
+    row_nnz = offsets[1:] - offsets[:-1]
+    return jnp.argsort(-row_nnz, stable=True).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# BlockSparseMatrix
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "data",
+        "offsets",
+        "indices",
+        "row_indices",
+        "offsets_t",
+        "indices_t",
+        "block_offsets",
+    ],
+    meta_fields=["shape", "block_size", "max_row_nnz", "max_col_nnz"],
+)
+@dataclasses.dataclass(frozen=True)
+class BlockSparseMatrix:
+    """BSR matrix descriptor (pytree). See module docstring for the contract.
+
+    TPU-native analogue of reference ``block/arguments.h:48-153``
+    (``BlockMatrix``). The transpose metadata fields are optional; ops that
+    need them build them on the fly (jit-safe) unless pre-attached with
+    :meth:`with_transpose_metadata` — the analogue of the reference's
+    ``MatmulEx`` / ``create_metadata=false`` fast path
+    (``block/dsd/dsd.cu:20-27``), except here "building" is cheap device
+    compute rather than a host round-trip.
+    """
+
+    data: Array  # (nnz_blocks, bs, bs)
+    offsets: Array  # (block_rows + 1,) int32
+    indices: Array  # (nnz_blocks,) int32 block-column ids
+    row_indices: Optional[Array]  # (nnz_blocks,) int32 block-row ids
+    offsets_t: Optional[Array]  # (block_cols + 1,) int32
+    indices_t: Optional[Array]  # (nnz_blocks,) int32 block-row ids, col-major order
+    block_offsets: Optional[Array]  # (nnz_blocks,) int32 physical pos, col-major order
+    shape: Tuple[int, int]  # static (rows, cols) in elements
+    block_size: int  # static
+    # Optional static hints: max nonzero blocks in any block-row / block-col.
+    # Bound the trip count of variable-step kernels (SSD/SDS/DSS); when None,
+    # kernels fall back to the worst-case bound (block_cols / block_rows).
+    # The reference analogue is `nonzeros` living in the descriptor
+    # (arguments.h:49) so grids stay static.
+    max_row_nnz: Optional[int] = None
+    max_col_nnz: Optional[int] = None
+
+    # -- static geometry ----------------------------------------------------
+    @property
+    def rows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def cols(self) -> int:
+        return self.shape[1]
+
+    @property
+    def block_rows(self) -> int:
+        return self.shape[0] // self.block_size
+
+    @property
+    def block_cols(self) -> int:
+        return self.shape[1] // self.block_size
+
+    @property
+    def nnz_blocks(self) -> int:
+        return self.data.shape[0]
+
+    @property
+    def nnz(self) -> int:
+        return self.data.shape[0] * self.block_size * self.block_size
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def density(self) -> float:
+        total = self.block_rows * self.block_cols
+        return self.nnz_blocks / max(total, 1)
+
+    # -- constructors --------------------------------------------------------
+    @staticmethod
+    def create(
+        data: Array,
+        offsets: Array,
+        indices: Array,
+        shape: Tuple[int, int],
+        *,
+        row_indices: Optional[Array] = None,
+        with_transpose: bool = False,
+        max_row_nnz: Optional[int] = None,
+        max_col_nnz: Optional[int] = None,
+    ) -> "BlockSparseMatrix":
+        bs = int(data.shape[-1])
+        if data.ndim != 3 or data.shape[1] != bs:
+            raise ValueError(f"data must be (nnz_blocks, bs, bs), got {data.shape}")
+        if shape[0] % bs or shape[1] % bs:
+            raise ValueError(f"shape {shape} not divisible by block_size {bs}")
+        offsets = offsets.astype(jnp.int32)
+        indices = indices.astype(jnp.int32)
+        if row_indices is None:
+            row_indices = row_indices_from_offsets(offsets, data.shape[0])
+        if max_row_nnz is None and not isinstance(offsets, jax.core.Tracer):
+            o = np.asarray(offsets)
+            max_row_nnz = int((o[1:] - o[:-1]).max()) if o.size > 1 else 0
+        if max_col_nnz is None and not isinstance(indices, jax.core.Tracer):
+            i = np.asarray(indices)
+            if i.size:
+                max_col_nnz = int(np.bincount(i, minlength=shape[1] // bs).max())
+            else:
+                max_col_nnz = 0
+        m = BlockSparseMatrix(
+            data=data,
+            offsets=offsets,
+            indices=indices,
+            row_indices=row_indices.astype(jnp.int32),
+            offsets_t=None,
+            indices_t=None,
+            block_offsets=None,
+            shape=(int(shape[0]), int(shape[1])),
+            block_size=bs,
+            max_row_nnz=max_row_nnz,
+            max_col_nnz=max_col_nnz,
+        )
+        if with_transpose:
+            m = m.with_transpose_metadata()
+        return m
+
+    # -- metadata ------------------------------------------------------------
+    def with_transpose_metadata(self) -> "BlockSparseMatrix":
+        """Attach (offsets_t, indices_t, block_offsets); idempotent."""
+        if self.offsets_t is not None:
+            return self
+        offsets_t, indices_t, block_offsets = build_transpose_metadata(
+            self.offsets, self.indices, self.block_cols
+        )
+        return dataclasses.replace(
+            self,
+            offsets_t=offsets_t,
+            indices_t=indices_t,
+            block_offsets=block_offsets,
+        )
+
+    def position_map(self) -> Array:
+        """Dense (block_rows, block_cols) int32 position-or-minus-one map."""
+        return block_position_map(
+            self.offsets, self.indices, self.block_rows, self.block_cols
+        )
+
+    def iteration_arrays(self, transposed: bool) -> Tuple[Array, Array, Array]:
+        """(row_ids, col_ids, data_ids) in kernel iteration order.
+
+        Natural order: blocks sorted by block-row (CSR order). Transposed
+        order: blocks sorted by block-column, reached through the transpose
+        metadata — the Pallas analogue of the reference's two iterator
+        advance modes (``block_tile_access_iterator.h:217-234``). For the
+        transposed view, "row" means the transposed matrix's row (= original
+        column).
+        """
+        if not transposed:
+            return self.row_indices, self.indices, jnp.arange(
+                self.nnz_blocks, dtype=jnp.int32
+            )
+        m = self.with_transpose_metadata()
+        t_rows = m.indices[m.block_offsets]  # sorted original col ids
+        return t_rows, m.indices_t, m.block_offsets
+
+    def transpose(self) -> "BlockSparseMatrix":
+        """Materialize the transposed matrix (blocks moved AND transposed).
+
+        Unlike :meth:`with_transpose_metadata` (index indirection only, what
+        the matmul kernels consume), this produces a standalone BSR of shape
+        (cols, rows). Used by oracles and the distributed layer.
+        """
+        m = self.with_transpose_metadata()
+        data_t = jnp.transpose(m.data[m.block_offsets], (0, 2, 1))
+        return BlockSparseMatrix(
+            data=data_t,
+            offsets=m.offsets_t,
+            indices=m.indices_t,
+            row_indices=m.indices[m.block_offsets],
+            offsets_t=None,
+            indices_t=None,
+            block_offsets=None,
+            shape=(self.shape[1], self.shape[0]),
+            block_size=self.block_size,
+            max_row_nnz=self.max_col_nnz,
+            max_col_nnz=self.max_row_nnz,
+        )
+
+    def to_dense(self) -> Array:
+        return bsr_to_dense(self)
+
+    def astype(self, dtype) -> "BlockSparseMatrix":
+        return dataclasses.replace(self, data=self.data.astype(dtype))
+
+    def with_data(self, data: Array) -> "BlockSparseMatrix":
+        """Same topology, new block values (shape/dtype may change dtype)."""
+        if data.shape != self.data.shape:
+            raise ValueError(f"data shape {data.shape} != {self.data.shape}")
+        return dataclasses.replace(self, data=data)
+
+
+def bsr_from_dense(
+    x: Array | np.ndarray, block_size: int, *, prune_zero_blocks: bool = True
+) -> BlockSparseMatrix:
+    """Convert a dense matrix to BSR. Host-side (data-dependent nnz).
+
+    Analogue of the reference test helper ``ToMatrix`` inverse
+    (``block/matrix_utils.h:81-112``). Not jittable: the number of nonzero
+    blocks is data-dependent. Inside jit, build topologies explicitly.
+    """
+    x = np.asarray(x)
+    rows, cols = x.shape
+    bs = block_size
+    if rows % bs or cols % bs:
+        raise ValueError(f"shape {x.shape} not divisible by block_size {bs}")
+    br, bc = rows // bs, cols // bs
+    blocks = x.reshape(br, bs, bc, bs).transpose(0, 2, 1, 3)  # (br, bc, bs, bs)
+    if prune_zero_blocks:
+        mask = np.abs(blocks).sum(axis=(2, 3)) != 0
+    else:
+        mask = np.ones((br, bc), dtype=bool)
+    r, c = np.nonzero(mask)  # row-major order = CSR block order
+    data = blocks[r, c]
+    offsets = np.zeros(br + 1, np.int32)
+    np.add.at(offsets[1:], r, 1)
+    offsets = np.cumsum(offsets).astype(np.int32)
+    return BlockSparseMatrix.create(
+        jnp.asarray(data),
+        jnp.asarray(offsets),
+        jnp.asarray(c.astype(np.int32)),
+        (rows, cols),
+    )
+
+
+def bsr_to_dense(m: BlockSparseMatrix) -> Array:
+    """Densify (jittable). Padding blocks (zero values, duplicate slots) are
+    accumulated, matching the reference convention."""
+    bs, br, bc = m.block_size, m.block_rows, m.block_cols
+    dense = jnp.zeros((br, bc, bs, bs), m.data.dtype)
+    dense = dense.at[m.row_indices, m.indices].add(m.data)
+    return dense.transpose(0, 2, 1, 3).reshape(m.rows, m.cols)
+
+
+# ---------------------------------------------------------------------------
+# CsrMatrix
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["values", "indices", "offsets", "row_indices"],
+    meta_fields=["shape"],
+)
+@dataclasses.dataclass(frozen=True)
+class CsrMatrix:
+    """Element-granular CSR matrix (pytree) — the upstream-Sputnik format.
+
+    Padding entries are legal: zero values with a valid duplicate column id
+    (reference ``matrix_utils.cu:272-282``).
+    """
+
+    values: Array  # (nnz,)
+    indices: Array  # (nnz,) int32 column ids
+    offsets: Array  # (rows + 1,) int32
+    row_indices: Optional[Array]  # (nnz,) int32 row ids
+    shape: Tuple[int, int]
+
+    @property
+    def rows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def cols(self) -> int:
+        return self.shape[1]
+
+    @property
+    def nnz(self) -> int:
+        return self.values.shape[0]
+
+    @property
+    def dtype(self):
+        return self.values.dtype
+
+    @staticmethod
+    def create(
+        values: Array,
+        indices: Array,
+        offsets: Array,
+        shape: Tuple[int, int],
+        *,
+        row_indices: Optional[Array] = None,
+    ) -> "CsrMatrix":
+        offsets = offsets.astype(jnp.int32)
+        indices = indices.astype(jnp.int32)
+        if row_indices is None:
+            row_indices = row_indices_from_offsets(offsets, values.shape[0])
+        return CsrMatrix(
+            values=values,
+            indices=indices,
+            offsets=offsets,
+            row_indices=row_indices.astype(jnp.int32),
+            shape=(int(shape[0]), int(shape[1])),
+        )
+
+    def with_values(self, values: Array) -> "CsrMatrix":
+        if values.shape != self.values.shape:
+            raise ValueError(f"values shape {values.shape} != {self.values.shape}")
+        return dataclasses.replace(self, values=values)
+
+    def astype(self, dtype) -> "CsrMatrix":
+        return dataclasses.replace(self, values=self.values.astype(dtype))
+
+    def to_dense(self) -> Array:
+        return csr_to_dense(self)
+
+    def transpose(self) -> "CsrMatrix":
+        offsets_t, indices_t, order = build_transpose_metadata(
+            self.offsets, self.indices, self.cols
+        )
+        return CsrMatrix(
+            values=self.values[order],
+            indices=indices_t,
+            offsets=offsets_t,
+            row_indices=self.indices[order],
+            shape=(self.shape[1], self.shape[0]),
+        )
+
+
+def csr_from_dense(x: Array | np.ndarray, *, pad_rows_to: int = 1) -> CsrMatrix:
+    """Dense -> CSR on host, optionally padding each row's nnz to a multiple
+    of ``pad_rows_to`` with zero-valued duplicate-column entries (reference
+    ``matrix_utils.cu:267-287``)."""
+    x = np.asarray(x)
+    rows, cols = x.shape
+    vals, idxs, counts = [], [], np.zeros(rows, np.int64)
+    for r in range(rows):
+        (cidx,) = np.nonzero(x[r])
+        v = x[r][cidx]
+        pad = (-len(cidx)) % pad_rows_to
+        if pad:
+            pad_col = cidx[-1] if len(cidx) else 0
+            cidx = np.concatenate([cidx, np.full(pad, pad_col, cidx.dtype if len(cidx) else np.int64)])
+            v = np.concatenate([v, np.zeros(pad, x.dtype)])
+        vals.append(v)
+        idxs.append(cidx)
+        counts[r] = len(cidx)
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    values = np.concatenate(vals) if vals else np.zeros((0,), x.dtype)
+    indices = np.concatenate(idxs).astype(np.int32) if idxs else np.zeros((0,), np.int32)
+    return CsrMatrix.create(jnp.asarray(values), jnp.asarray(indices), jnp.asarray(offsets), (rows, cols))
+
+
+def csr_to_dense(m: CsrMatrix) -> Array:
+    dense = jnp.zeros(m.shape, m.values.dtype)
+    return dense.at[m.row_indices, m.indices].add(m.values)

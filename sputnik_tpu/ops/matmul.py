@@ -1,0 +1,315 @@
+"""Public BSR matmul API — the six dense/sparse layout combinations.
+
+The TPU-native analogue of the reference's op front-ends
+(``sputnik/sputnik.h:18-25`` re-exporting ``block/{dsd,dds,sdd,ssd,sds,
+dss}``): shape validation at trace time (the reference's ``ValidMatmul``,
+``arguments.h:217-231``) then registry first-fit dispatch. There is no
+``MatmulEx`` distinction here — metadata builds are jit-safe device compute
+and callers can pre-attach them with
+``BlockSparseMatrix.with_transpose_metadata()`` to amortize.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from sputnik_tpu.formats import BlockSparseMatrix
+from sputnik_tpu.kernels import bsr_dsd, bsr_sdd, bsr_ssd, bsr_dss, reference
+from sputnik_tpu.ops import registry
+
+__all__ = [
+    "matmul_dsd",
+    "matmul_dds",
+    "matmul_sdd",
+    "matmul_ssd",
+    "matmul_sds",
+    "matmul_dss",
+    "matmul",
+]
+
+_PALLAS_DTYPES = (jnp.bfloat16, jnp.float32)
+
+
+def _pallas_ok(*sparse_operands, dense_dims=(), dtypes=()):
+    """Common Pallas `can_implement` conditions: MXU-aligned 128-multiple
+    blocks and dims, supported dtypes (reference analogue: the per-file
+    alignment + block_size==128 + mode checks, ``dsd_*_nt_align8.cu:45-65``)."""
+    for m in sparse_operands:
+        if m.block_size % 128 != 0:
+            return False
+    for d in dense_dims:
+        if d % 128 != 0:
+            return False
+    for dt in dtypes:
+        if jnp.dtype(dt) not in (jnp.dtype(d) for d in _PALLAS_DTYPES):
+            return False
+    return True
+
+
+# ---------------------------------------------------------------------------
+# DSD: dense = sparse @ dense
+# ---------------------------------------------------------------------------
+
+
+def _dsd_can(a, b, transpose_a=False, transpose_b=False, out_dtype=None, **kw):
+    n_dim = b.shape[0] if transpose_b else b.shape[1]
+    return _pallas_ok(
+        a, dense_dims=(n_dim,), dtypes=(a.dtype, b.dtype, out_dtype or a.dtype)
+    ) and a.nnz_blocks > 0
+
+
+registry.register("dsd", "pallas_stream", _dsd_can, bsr_dsd.dsd)
+registry.register("dsd", "jnp_fallback", lambda *a, **k: True, reference.dsd)
+
+
+def matmul_dsd(
+    a: BlockSparseMatrix,
+    b: jax.Array,
+    *,
+    transpose_a: bool = False,
+    transpose_b: bool = False,
+    out_dtype=None,
+    **options,
+) -> jax.Array:
+    """C[M, N] = op(A_sparse) @ op(B_dense)   (reference ``block/dsd/dsd.h``)."""
+    return registry.dispatch(
+        "dsd",
+        a,
+        b,
+        transpose_a=transpose_a,
+        transpose_b=transpose_b,
+        out_dtype=out_dtype,
+        **options,
+    )
+
+
+# ---------------------------------------------------------------------------
+# DDS: dense = dense @ sparse
+# ---------------------------------------------------------------------------
+
+
+def _dds_can(a, b, transpose_a=False, transpose_b=False, out_dtype=None, **kw):
+    m_dim = a.shape[1] if transpose_a else a.shape[0]
+    return _pallas_ok(
+        b, dense_dims=(m_dim,), dtypes=(a.dtype, b.dtype, out_dtype or b.dtype)
+    ) and b.nnz_blocks > 0
+
+
+registry.register("dds", "pallas_stream", _dds_can, bsr_dsd.dds)
+registry.register("dds", "jnp_fallback", lambda *a, **k: True, reference.dds)
+
+
+def matmul_dds(
+    a: jax.Array,
+    b: BlockSparseMatrix,
+    *,
+    transpose_a: bool = False,
+    transpose_b: bool = False,
+    out_dtype=None,
+    **options,
+) -> jax.Array:
+    """C[M, N] = op(A_dense) @ op(B_sparse)   (reference ``block/dds/dds.h``)."""
+    return registry.dispatch(
+        "dds",
+        a,
+        b,
+        transpose_a=transpose_a,
+        transpose_b=transpose_b,
+        out_dtype=out_dtype,
+        **options,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SDD: sparse = dense @ dense (output-masked)
+# ---------------------------------------------------------------------------
+
+
+def _sdd_can(a, b, topology, transpose_a=False, transpose_b=False, out_dtype=None, **kw):
+    k_dim = a.shape[0] if transpose_a else a.shape[1]
+    return _pallas_ok(
+        topology,
+        dense_dims=(k_dim,),
+        dtypes=(a.dtype, b.dtype, out_dtype or topology.dtype),
+    )
+
+
+registry.register("sdd", "pallas_output_stationary", _sdd_can, bsr_sdd.sdd)
+registry.register("sdd", "jnp_fallback", lambda *a, **k: True, reference.sdd)
+
+
+def matmul_sdd(
+    a: jax.Array,
+    b: jax.Array,
+    topology: BlockSparseMatrix,
+    *,
+    transpose_a: bool = False,
+    transpose_b: bool = False,
+    out_dtype=None,
+    **options,
+) -> BlockSparseMatrix:
+    """C_sparse = op(A) @ op(B) masked to ``topology``
+    (reference ``block/sdd/sdd.h``; SDDMM / attention-score shape)."""
+    return registry.dispatch(
+        "sdd",
+        a,
+        b,
+        topology,
+        transpose_a=transpose_a,
+        transpose_b=transpose_b,
+        out_dtype=out_dtype,
+        **options,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SSD: sparse = sparse @ dense
+# ---------------------------------------------------------------------------
+
+
+def _ssd_can(a, b, topology, transpose_a=False, transpose_b=False, out_dtype=None, **kw):
+    return (
+        _pallas_ok(
+            a, topology, dtypes=(a.dtype, b.dtype, out_dtype or topology.dtype)
+        )
+        and a.block_size == topology.block_size
+    )
+
+
+registry.register("ssd", "pallas_output_stationary", _ssd_can, bsr_ssd.ssd)
+registry.register("ssd", "jnp_fallback", lambda *a, **k: True, reference.ssd)
+
+
+def matmul_ssd(
+    a: BlockSparseMatrix,
+    b: jax.Array,
+    topology: BlockSparseMatrix,
+    *,
+    transpose_a: bool = False,
+    transpose_b: bool = False,
+    out_dtype=None,
+    **options,
+) -> BlockSparseMatrix:
+    """C_sparse = op(A_sparse) @ op(B_dense) masked to ``topology``
+    (reference ``block/ssd/ssd.h``)."""
+    return registry.dispatch(
+        "ssd",
+        a,
+        b,
+        topology,
+        transpose_a=transpose_a,
+        transpose_b=transpose_b,
+        out_dtype=out_dtype,
+        **options,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SDS: sparse = dense @ sparse
+# ---------------------------------------------------------------------------
+
+
+def _sds_can(a, b, topology, transpose_a=False, transpose_b=False, out_dtype=None, **kw):
+    return (
+        _pallas_ok(
+            b, topology, dtypes=(a.dtype, b.dtype, out_dtype or topology.dtype)
+        )
+        and b.block_size == topology.block_size
+    )
+
+
+registry.register("sds", "pallas_output_stationary", _sds_can, bsr_ssd.sds)
+registry.register("sds", "jnp_fallback", lambda *a, **k: True, reference.sds)
+
+
+def matmul_sds(
+    a: jax.Array,
+    b: BlockSparseMatrix,
+    topology: BlockSparseMatrix,
+    *,
+    transpose_a: bool = False,
+    transpose_b: bool = False,
+    out_dtype=None,
+    **options,
+) -> BlockSparseMatrix:
+    """C_sparse = op(A_dense) @ op(B_sparse) masked to ``topology``
+    (reference ``block/sds/sds.h``)."""
+    return registry.dispatch(
+        "sds",
+        a,
+        b,
+        topology,
+        transpose_a=transpose_a,
+        transpose_b=transpose_b,
+        out_dtype=out_dtype,
+        **options,
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSS: dense = sparse @ sparse
+# ---------------------------------------------------------------------------
+
+
+def _dss_can(a, b, transpose_a=False, transpose_b=False, out_dtype=None, **kw):
+    return (
+        _pallas_ok(a, b, dtypes=(a.dtype, b.dtype, out_dtype or a.dtype))
+        and a.block_size == b.block_size
+        and a.nnz_blocks > 0
+        and b.nnz_blocks > 0
+    )
+
+
+registry.register("dss", "pallas_masked_stream", _dss_can, bsr_dss.dss)
+registry.register("dss", "jnp_fallback", lambda *a, **k: True, reference.dss)
+
+
+def matmul_dss(
+    a: BlockSparseMatrix,
+    b: BlockSparseMatrix,
+    *,
+    transpose_a: bool = False,
+    transpose_b: bool = False,
+    out_dtype=None,
+    **options,
+) -> jax.Array:
+    """C[M, N] = op(A_sparse) @ op(B_sparse)   (reference ``block/dss/dss.h``)."""
+    return registry.dispatch(
+        "dss",
+        a,
+        b,
+        transpose_a=transpose_a,
+        transpose_b=transpose_b,
+        out_dtype=out_dtype,
+        **options,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Generic entry point
+# ---------------------------------------------------------------------------
+
+
+def matmul(a, b, *, topology: BlockSparseMatrix | None = None, **kw):
+    """Type-dispatching matmul: picks the op from operand/output sparsity,
+    the way users of the reference pick a header."""
+    a_sp = isinstance(a, BlockSparseMatrix)
+    b_sp = isinstance(b, BlockSparseMatrix)
+    if topology is None:
+        if a_sp and b_sp:
+            return matmul_dss(a, b, **kw)
+        if a_sp:
+            return matmul_dsd(a, b, **kw)
+        if b_sp:
+            return matmul_dds(a, b, **kw)
+        return jnp.dot(a, b, preferred_element_type=jnp.float32).astype(
+            kw.get("out_dtype") or a.dtype
+        )
+    if a_sp and b_sp:
+        raise NotImplementedError("sparse = sparse @ sparse (SSS) has no reference analogue")
+    if a_sp:
+        return matmul_ssd(a, b, topology, **kw)
+    if b_sp:
+        return matmul_sds(a, b, topology, **kw)
+    return matmul_sdd(a, b, topology, **kw)

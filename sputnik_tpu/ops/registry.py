@@ -1,0 +1,59 @@
+"""Kernel-variant registry with ``can_implement`` first-fit dispatch.
+
+Reproduces the shape of the reference's dispatcher
+(``block/dsd/cutlass/dsd.cu:30-74``): a per-op list of
+``(can_implement, launch)`` pairs walked in order, launching the FIRST
+compatible variant, with a full problem dump raised when none matches
+(the reference logs FATAL, ``cutlass/dsd.cu:69-72``). Autotuned tile
+configurations slot in as additional variants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List
+
+__all__ = ["KernelVariant", "register", "dispatch", "variants_for"]
+
+
+@dataclasses.dataclass(frozen=True)
+class KernelVariant:
+    name: str
+    can_implement: Callable[..., bool]  # (*args, **kwargs) -> bool
+    launch: Callable  # the kernel entry point
+
+
+_REGISTRY: Dict[str, List[KernelVariant]] = {}
+
+
+def register(op: str, name: str, can_implement, launch, *, index: int | None = None):
+    variants = _REGISTRY.setdefault(op, [])
+    v = KernelVariant(name=name, can_implement=can_implement, launch=launch)
+    if index is None:
+        variants.append(v)
+    else:
+        variants.insert(index, v)
+    return v
+
+
+def variants_for(op: str) -> List[KernelVariant]:
+    return list(_REGISTRY.get(op, []))
+
+
+def dispatch(op: str, *args, variant: str | None = None, **kwargs):
+    variants = _REGISTRY.get(op, [])
+    if variant is not None:
+        for v in variants:
+            if v.name == variant:
+                return v.launch(*args, **kwargs)
+        raise ValueError(f"{op}: no variant named {variant!r}")
+    for v in variants:
+        if v.can_implement(*args, **kwargs):
+            return v.launch(*args, **kwargs)
+    # Mirror the reference's FATAL-with-full-shape-dump behavior.
+    shapes = [getattr(a, "shape", None) for a in args]
+    raise NotImplementedError(
+        f"{op}: no registered kernel variant can implement the problem; "
+        f"arg shapes={shapes}, kwargs={ {k: v for k, v in kwargs.items() if not hasattr(v, 'shape')} }, "
+        f"variants tried={[v.name for v in variants]}"
+    )

@@ -1,0 +1,319 @@
+"""Mesh-partitioned sparse matmuls over ``jax.sharding.Mesh`` + shard_map.
+
+The reference has no distributed layer (single-GPU kernel library,
+SURVEY.md section 2.8); the north star requires one. Design:
+
+  * Sparse matrices are **row/block-partitioned**: each mesh shard owns a
+    contiguous band of block-rows as a complete local BSR/CSR, padded to
+    equal nnz so the stacked pytree has static per-shard shapes. Only the
+    dense operand ever moves.
+  * ``shard_map`` runs the single-chip Pallas kernels per device; the dense
+    panel is replicated, column-sharded (no comm), or K-sharded
+    (``all_gather`` over ICI before the local kernel — XLA schedules the
+    gather's chunks asynchronously against compute).
+  * Weak scaling comes for free from row partitioning: per-device work is
+    the local nnz, and no collective touches the sparse data.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from sputnik_tpu.formats import BlockSparseMatrix, CsrMatrix
+from sputnik_tpu.kernels import bsr_dsd, bsr_sdd
+from sputnik_tpu.ops import csr as csr_ops
+
+__all__ = [
+    "ShardedBlockSparseMatrix",
+    "ShardedCsrMatrix",
+    "partition_bsr_rows",
+    "partition_csr_rows",
+    "sharded_dsd",
+    "sharded_sdd",
+    "sharded_spmm",
+]
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["data", "offsets", "indices", "row_indices"],
+    meta_fields=["shape", "block_size", "n_shards", "max_row_nnz"],
+)
+@dataclasses.dataclass(frozen=True)
+class ShardedBlockSparseMatrix:
+    """Row-partitioned BSR: shard-stacked local matrices with equal padded
+    nnz. ``data[s]`` etc. is shard s's local BSR over block-rows
+    ``[s * rows_per_shard, (s+1) * rows_per_shard)``."""
+
+    data: jax.Array  # (S, P, bs, bs)
+    offsets: jax.Array  # (S, local_block_rows + 1)
+    indices: jax.Array  # (S, P)
+    row_indices: jax.Array  # (S, P) local block-row ids
+    shape: Tuple[int, int]  # global
+    block_size: int
+    n_shards: int
+    max_row_nnz: Optional[int]
+
+    @property
+    def local_rows(self) -> int:
+        return self.shape[0] // self.n_shards
+
+    def local_matrix(self, s: int | None = None) -> BlockSparseMatrix:
+        """Materialize shard ``s``'s local BSR (host/debug use)."""
+        i = 0 if s is None else s
+        return BlockSparseMatrix(
+            data=self.data[i],
+            offsets=self.offsets[i],
+            indices=self.indices[i],
+            row_indices=self.row_indices[i],
+            offsets_t=None,
+            indices_t=None,
+            block_offsets=None,
+            shape=(self.local_rows, self.shape[1]),
+            block_size=self.block_size,
+            max_row_nnz=self.max_row_nnz,
+            max_col_nnz=None,
+        )
+
+
+def partition_bsr_rows(m: BlockSparseMatrix, n_shards: int) -> ShardedBlockSparseMatrix:
+    """Split a BSR into ``n_shards`` equal bands of block-rows (host-side).
+
+    Shards are padded to the max per-shard nnz with zero-valued blocks
+    duplicating the shard's last slot (the standard padding convention), so
+    the stacked arrays are rectangular and shard_map can split them.
+    """
+    if m.block_rows % n_shards:
+        raise ValueError(f"block_rows {m.block_rows} not divisible by {n_shards}")
+    rows_per = m.block_rows // n_shards
+    offs = np.asarray(m.offsets)
+    idx = np.asarray(m.indices)
+    rowid = np.asarray(m.row_indices)
+    data = np.asarray(m.data)
+
+    shards = []
+    for s in range(n_shards):
+        lo, hi = offs[s * rows_per], offs[(s + 1) * rows_per]
+        local_offs = offs[s * rows_per : (s + 1) * rows_per + 1] - lo
+        shards.append(
+            (data[lo:hi], local_offs, idx[lo:hi], rowid[lo:hi] - s * rows_per)
+        )
+    pad_to = max(sh[0].shape[0] for sh in shards)
+    pad_to = max(pad_to, 1)
+    bs = m.block_size
+
+    d_out, o_out, i_out, r_out = [], [], [], []
+    for d, o, i, r in shards:
+        n = d.shape[0]
+        pad = pad_to - n
+        if pad:
+            d = np.concatenate([d, np.zeros((pad, bs, bs), d.dtype)])
+            # Duplicate the last slot (or (last_row, 0) for empty shards).
+            pad_col = i[-1] if n else 0
+            pad_row = r[-1] if n else rows_per - 1
+            i = np.concatenate([i, np.full(pad, pad_col, np.int32)])
+            r = np.concatenate([r, np.full(pad, pad_row, np.int32)])
+            o = o.copy()
+            o[-1] += pad  # padding blocks live in the last row's extent
+            # Keep offsets consistent: all rows after the last real block's
+            # row keep their offset; the final boundary absorbs the padding.
+            # (Padding rows are appended to the LAST local row.)
+        d_out.append(d)
+        o_out.append(o)
+        i_out.append(i)
+        r_out.append(r)
+
+    # Padding was attributed to the last row: fix row_indices accordingly.
+    return ShardedBlockSparseMatrix(
+        data=jnp.asarray(np.stack(d_out)).astype(m.dtype),
+        offsets=jnp.asarray(np.stack(o_out), jnp.int32),
+        indices=jnp.asarray(np.stack(i_out), jnp.int32),
+        row_indices=jnp.asarray(np.stack(r_out), jnp.int32),
+        shape=m.shape,
+        block_size=bs,
+        n_shards=n_shards,
+        max_row_nnz=None,
+    )
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["values", "indices", "offsets", "row_indices"],
+    meta_fields=["shape", "n_shards"],
+)
+@dataclasses.dataclass(frozen=True)
+class ShardedCsrMatrix:
+    """Row-partitioned CSR, same scheme as :class:`ShardedBlockSparseMatrix`."""
+
+    values: jax.Array  # (S, P)
+    indices: jax.Array  # (S, P)
+    offsets: jax.Array  # (S, local_rows + 1)
+    row_indices: jax.Array  # (S, P)
+    shape: Tuple[int, int]
+    n_shards: int
+
+    @property
+    def local_rows(self) -> int:
+        return self.shape[0] // self.n_shards
+
+
+def partition_csr_rows(m: CsrMatrix, n_shards: int) -> ShardedCsrMatrix:
+    if m.rows % n_shards:
+        raise ValueError(f"rows {m.rows} not divisible by {n_shards}")
+    rows_per = m.rows // n_shards
+    offs = np.asarray(m.offsets)
+    idx = np.asarray(m.indices)
+    rowid = np.asarray(m.row_indices)
+    vals = np.asarray(m.values)
+
+    shards = []
+    for s in range(n_shards):
+        lo, hi = offs[s * rows_per], offs[(s + 1) * rows_per]
+        local_offs = offs[s * rows_per : (s + 1) * rows_per + 1] - lo
+        shards.append((vals[lo:hi], local_offs, idx[lo:hi], rowid[lo:hi] - s * rows_per))
+    pad_to = max(max(sh[0].shape[0] for sh in shards), 1)
+
+    v_out, o_out, i_out, r_out = [], [], [], []
+    for v, o, i, r in shards:
+        pad = pad_to - v.shape[0]
+        if pad:
+            v = np.concatenate([v, np.zeros(pad, v.dtype)])
+            i = np.concatenate([i, np.full(pad, i[-1] if i.size else 0, np.int32)])
+            r = np.concatenate([r, np.full(pad, r[-1] if r.size else rows_per - 1, np.int32)])
+            o = o.copy()
+            o[-1] += pad
+        v_out.append(v)
+        o_out.append(o)
+        i_out.append(i)
+        r_out.append(r)
+    return ShardedCsrMatrix(
+        values=jnp.asarray(np.stack(v_out)).astype(m.dtype),
+        indices=jnp.asarray(np.stack(i_out), jnp.int32),
+        offsets=jnp.asarray(np.stack(o_out), jnp.int32),
+        row_indices=jnp.asarray(np.stack(r_out), jnp.int32),
+        shape=m.shape,
+        n_shards=n_shards,
+    )
+
+
+def _local_bsr(sm: ShardedBlockSparseMatrix, data, offsets, indices, row_indices):
+    """Rebuild the local BSR from shard_map-local (1, ...) slabs."""
+    return BlockSparseMatrix(
+        data=data[0],
+        offsets=offsets[0],
+        indices=indices[0],
+        row_indices=row_indices[0],
+        offsets_t=None,
+        indices_t=None,
+        block_offsets=None,
+        shape=(sm.local_rows, sm.shape[1]),
+        block_size=sm.block_size,
+        max_row_nnz=sm.max_row_nnz,
+        max_col_nnz=None,
+    )
+
+
+def sharded_dsd(
+    a: ShardedBlockSparseMatrix,
+    b: jax.Array,
+    mesh: Mesh,
+    *,
+    axis: str = "x",
+    b_sharded_k: bool = False,
+    out_dtype=None,
+    **options,
+) -> jax.Array:
+    """Row-partitioned SpMM over a mesh: C[rows sharded] = A_sharded @ B.
+
+    ``b_sharded_k=False``: B replicated, zero communication.
+    ``b_sharded_k=True``: B row(K)-sharded on ``axis``; each device
+    all-gathers the K panels over ICI before its local kernel (XLA overlaps
+    the gather steps with the first block computations).
+    """
+
+    def local(data, offsets, indices, row_indices, b_local):
+        a_local = _local_bsr(a, data, offsets, indices, row_indices)
+        if b_sharded_k:
+            b_full = jax.lax.all_gather(b_local, axis, axis=0, tiled=True)
+        else:
+            b_full = b_local
+        return bsr_dsd.dsd(a_local, b_full, out_dtype=out_dtype, **options)
+
+    b_spec = P(axis) if b_sharded_k else P()
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), b_spec),
+        out_specs=P(axis),
+        check_rep=False,
+    )
+    return fn(a.data, a.offsets, a.indices, a.row_indices, b)
+
+
+def sharded_sdd(
+    a: jax.Array,
+    b: jax.Array,
+    topology: ShardedBlockSparseMatrix,
+    mesh: Mesh,
+    *,
+    axis: str = "x",
+    out_dtype=None,
+    **options,
+):
+    """Row-partitioned SDDMM: A row-sharded with the topology, B replicated.
+    Returns the shard-stacked output data array (topology layout)."""
+
+    def local(a_local, b_local, data, offsets, indices, row_indices):
+        topo_local = _local_bsr(topology, data, offsets, indices, row_indices)
+        out = bsr_sdd.sdd(
+            a_local, b_local, topo_local, out_dtype=out_dtype, **options
+        )
+        return out.data[None]
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_rep=False,
+    )
+    data = fn(a, b, topology.data, topology.offsets, topology.indices, topology.row_indices)
+    return dataclasses.replace(topology, data=data)
+
+
+def sharded_spmm(
+    a: ShardedCsrMatrix,
+    b: jax.Array,
+    mesh: Mesh,
+    *,
+    axis: str = "x",
+    out_dtype=None,
+) -> jax.Array:
+    """Row-partitioned CSR SpMM over a mesh (the 1M-row north-star config)."""
+
+    def local(values, indices, offsets, row_indices, b_local):
+        m = CsrMatrix(
+            values=values[0],
+            indices=indices[0],
+            offsets=offsets[0],
+            row_indices=row_indices[0],
+            shape=(a.local_rows, a.shape[1]),
+        )
+        return csr_ops.spmm(m, b_local, out_dtype=out_dtype)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+        out_specs=P(axis),
+        check_rep=False,
+    )
+    return fn(a.values, a.indices, a.offsets, a.row_indices, b)

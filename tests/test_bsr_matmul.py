@@ -1,0 +1,184 @@
+"""BSR matmul tests — all six ops x all four transpose modes vs the
+fp64-accumulation dense oracle at the reference tolerance (5e-2),
+mirroring the reference's typed problem grids (``dsd_test.cu:29-50`` etc.):
+minimum sizes, multiple inner blocks, 50%/25% sparsity, unordered indices.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from sputnik_tpu import ops
+from sputnik_tpu.kernels import reference
+from sputnik_tpu.utils import testing
+from sputnik_tpu.utils.testing import ATOL
+
+BS = 128
+MODES = [(False, False), (False, True), (True, False), (True, True)]
+
+# (m, k, n, density, unordered) — density is the fraction of nonzero blocks.
+PROBLEMS = [
+    (128, 128, 128, 1.0, False),   # single block
+    (128, 256, 128, 1.0, False),   # two inner blocks
+    (256, 256, 256, 1.0, False),   # dense-as-sparse
+    (512, 512, 256, 0.5, False),   # 50% sparse
+    (512, 256, 512, 0.25, False),  # 25% sparse
+    (512, 512, 512, 0.25, True),   # unordered column indices
+]
+
+
+def _mk_sparse(rng, rows, cols, density, unordered, dtype=jnp.float32):
+    nnz = int(rows * cols * density)
+    return testing.random_bsr(
+        rng, rows, cols, max(nnz, BS * BS), BS, unordered=unordered, dtype=dtype
+    )
+
+
+def _dims(m, k, n, ta, tb):
+    """Stored shapes per transpose mode."""
+    a_shape = (k, m) if ta else (m, k)
+    b_shape = (n, k) if tb else (k, n)
+    return a_shape, b_shape
+
+
+def _check(out, expected):
+    np.testing.assert_allclose(np.asarray(out, np.float32), expected, atol=ATOL)
+
+
+@pytest.mark.parametrize("ta,tb", MODES)
+@pytest.mark.parametrize("m,k,n,density,unordered", PROBLEMS)
+def test_dsd(rng, m, k, n, density, unordered, ta, tb):
+    a_shape, b_shape = _dims(m, k, n, ta, tb)
+    a = _mk_sparse(rng, *a_shape, density, unordered)
+    b = jnp.asarray(rng.standard_normal(b_shape).astype(np.float32))
+    out = ops.matmul_dsd(a, b, transpose_a=ta, transpose_b=tb, variant="pallas_stream")
+    expected = testing.dense_oracle_matmul(
+        np.asarray(a.to_dense()), np.asarray(b), transpose_a=ta, transpose_b=tb
+    )
+    _check(out, expected)
+
+
+@pytest.mark.parametrize("ta,tb", MODES)
+@pytest.mark.parametrize("m,k,n,density,unordered", PROBLEMS)
+def test_dds(rng, m, k, n, density, unordered, ta, tb):
+    a_shape, b_shape = _dims(m, k, n, ta, tb)
+    a = jnp.asarray(rng.standard_normal(a_shape).astype(np.float32))
+    b = _mk_sparse(rng, *b_shape, density, unordered)
+    out = ops.matmul_dds(a, b, transpose_a=ta, transpose_b=tb, variant="pallas_stream")
+    expected = testing.dense_oracle_matmul(
+        np.asarray(a), np.asarray(b.to_dense()), transpose_a=ta, transpose_b=tb
+    )
+    _check(out, expected)
+
+
+@pytest.mark.parametrize("ta,tb", MODES)
+@pytest.mark.parametrize("m,k,n,density,unordered", PROBLEMS[:5])
+def test_sdd(rng, m, k, n, density, unordered, ta, tb):
+    a_shape, b_shape = _dims(m, k, n, ta, tb)
+    a = jnp.asarray(rng.standard_normal(a_shape).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(b_shape).astype(np.float32))
+    topo = _mk_sparse(rng, m, n, density, unordered)
+    out = ops.matmul_sdd(
+        a, b, topo, transpose_a=ta, transpose_b=tb, variant="pallas_output_stationary"
+    )
+    full = testing.dense_oracle_matmul(
+        np.asarray(a), np.asarray(b), transpose_a=ta, transpose_b=tb
+    )
+    expected = np.asarray(
+        reference.extract_blocks(jnp.asarray(full.astype(np.float32)), topo)
+    )
+    _check(out.data, expected)
+
+
+@pytest.mark.parametrize("ta,tb", MODES)
+@pytest.mark.parametrize("m,k,n,density,unordered", PROBLEMS[2:])
+def test_ssd(rng, m, k, n, density, unordered, ta, tb):
+    a_shape, b_shape = _dims(m, k, n, ta, tb)
+    a = _mk_sparse(rng, *a_shape, density, unordered)
+    b = jnp.asarray(rng.standard_normal(b_shape).astype(np.float32))
+    topo = _mk_sparse(rng, m, n, density, unordered)
+    out = ops.matmul_ssd(
+        a, b, topo, transpose_a=ta, transpose_b=tb, variant="pallas_output_stationary"
+    )
+    full = testing.dense_oracle_matmul(
+        np.asarray(a.to_dense()), np.asarray(b), transpose_a=ta, transpose_b=tb
+    )
+    expected = np.asarray(
+        reference.extract_blocks(jnp.asarray(full.astype(np.float32)), topo)
+    )
+    _check(out.data, expected)
+
+
+@pytest.mark.parametrize("ta,tb", MODES)
+@pytest.mark.parametrize("m,k,n,density,unordered", PROBLEMS[2:])
+def test_sds(rng, m, k, n, density, unordered, ta, tb):
+    a_shape, b_shape = _dims(m, k, n, ta, tb)
+    a = jnp.asarray(rng.standard_normal(a_shape).astype(np.float32))
+    b = _mk_sparse(rng, *b_shape, density, unordered)
+    topo = _mk_sparse(rng, m, n, density, unordered)
+    out = ops.matmul_sds(
+        a, b, topo, transpose_a=ta, transpose_b=tb, variant="pallas_output_stationary"
+    )
+    full = testing.dense_oracle_matmul(
+        np.asarray(a), np.asarray(b.to_dense()), transpose_a=ta, transpose_b=tb
+    )
+    expected = np.asarray(
+        reference.extract_blocks(jnp.asarray(full.astype(np.float32)), topo)
+    )
+    _check(out.data, expected)
+
+
+@pytest.mark.parametrize("ta,tb", MODES)
+@pytest.mark.parametrize("m,k,n,density,unordered", PROBLEMS[2:])
+def test_dss(rng, m, k, n, density, unordered, ta, tb):
+    a_shape, b_shape = _dims(m, k, n, ta, tb)
+    a = _mk_sparse(rng, *a_shape, density, unordered)
+    b = _mk_sparse(rng, *b_shape, density, unordered)
+    out = ops.matmul_dss(a, b, transpose_a=ta, transpose_b=tb, variant="pallas_masked_stream")
+    expected = testing.dense_oracle_matmul(
+        np.asarray(a.to_dense()),
+        np.asarray(b.to_dense()),
+        transpose_a=ta,
+        transpose_b=tb,
+    )
+    _check(out, expected)
+
+
+def test_dsd_bf16(rng):
+    a = _mk_sparse(rng, 256, 256, 0.5, False, dtype=jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal((256, 256)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    out = ops.matmul_dsd(a, b, out_dtype=jnp.float32, variant="pallas_stream")
+    expected = testing.dense_oracle_matmul(
+        np.asarray(a.to_dense(), np.float32), np.asarray(b, np.float32)
+    )
+    # bf16 inputs: looser tolerance scaled by reduction depth.
+    np.testing.assert_allclose(np.asarray(out), expected, atol=0.5, rtol=0.1)
+
+
+def test_dsd_padded_input_blocks(rng):
+    """Zero-valued duplicate padding blocks in the sparse input are inert."""
+    a = testing.random_bsr(rng, 512, 512, 6 * 128 * 128, 128, pad_rows_to=2)
+    b = jnp.asarray(rng.standard_normal((512, 256)).astype(np.float32))
+    out = ops.matmul_dsd(a, b, variant="pallas_stream")
+    expected = testing.dense_oracle_matmul(np.asarray(a.to_dense()), np.asarray(b))
+    _check(out, expected)
+
+
+def test_registry_fallback_small_blocks(rng):
+    """Block sizes the Pallas predicates reject fall through to jnp."""
+    a = testing.random_bsr(rng, 128, 128, 8 * 64 * 64, 64)
+    b = jnp.asarray(rng.standard_normal((128, 128)).astype(np.float32))
+    out = ops.matmul_dsd(a, b)  # first-fit should select jnp_fallback
+    expected = testing.dense_oracle_matmul(np.asarray(a.to_dense()), np.asarray(b))
+    _check(out, expected)
+
+
+def test_generic_matmul_dispatch(rng):
+    a = _mk_sparse(rng, 256, 256, 0.5, False)
+    b = jnp.asarray(rng.standard_normal((256, 256)).astype(np.float32))
+    out = ops.matmul(a, b)
+    expected = testing.dense_oracle_matmul(np.asarray(a.to_dense()), np.asarray(b))
+    _check(out, expected)
