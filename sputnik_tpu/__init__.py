@@ -27,6 +27,7 @@ from sputnik_tpu.formats import (
 )
 from sputnik_tpu import ops
 from sputnik_tpu.ops import matmul_dsd, matmul_dds, matmul_sdd, matmul_ssd, matmul_sds, matmul_dss
+from sputnik_tpu.ops import grad, value_and_grad
 
 __version__ = "0.1.0"
 
@@ -42,4 +43,6 @@ __all__ = [
     "matmul_ssd",
     "matmul_sds",
     "matmul_dss",
+    "grad",
+    "value_and_grad",
 ]

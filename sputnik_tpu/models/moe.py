@@ -1,0 +1,154 @@
+"""MegaBlocks-style Mixture-of-Experts FFN as block-sparse matmuls.
+
+This is the workload the reference was built for (its README's citation is
+the MegaBlocks paper, ``README.md:29-43``): a top-1-routed expert FFN where
+the token x hidden computation is expressed as block-sparse matmuls over a
+**block-diagonal** topology instead of per-expert loops:
+
+    h = SDD(x_perm, W1, block_diag_topology)    # tokens hit only their
+    h = gelu(h)                                 # expert's hidden columns
+    y = DSD(h, W2)
+
+Tokens are routed top-1 and scattered into per-expert capacity slots
+(capacity factor padding keeps shapes static for XLA; MegaBlocks' dropless
+variable topology is a planned variant — the ops already accept traced
+metadata). The backward pass runs through the custom VJPs in
+``ops.autodiff``: dW1 arrives via DDS, dx via DSD, all sparse.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sputnik_tpu import ops
+from sputnik_tpu.formats import BlockSparseMatrix
+
+__all__ = [
+    "MoEConfig",
+    "block_diag_topology",
+    "init_moe_params",
+    "moe_forward",
+    "moe_loss",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class MoEConfig:
+    d_model: int = 512
+    d_ff: int = 1024  # hidden units per expert
+    n_experts: int = 8
+    capacity: int = 256  # token slots per expert (multiple of block_size)
+    block_size: int = 128
+    dtype: object = jnp.bfloat16
+    router_aux_weight: float = 0.01
+
+    def __post_init__(self):
+        bs = self.block_size
+        assert self.capacity % bs == 0, "capacity must be a block multiple"
+        assert self.d_ff % bs == 0, "d_ff must be a block multiple"
+
+    @property
+    def padded_tokens(self) -> int:
+        return self.n_experts * self.capacity
+
+    @property
+    def ff_total(self) -> int:
+        return self.n_experts * self.d_ff
+
+
+def block_diag_topology(cfg: MoEConfig) -> BlockSparseMatrix:
+    """Static block-diagonal topology: expert e's capacity rows hit only
+    columns [e*d_ff, (e+1)*d_ff). The grouped-GEMM-as-BSR trick."""
+    bs = cfg.block_size
+    rows_per = cfg.capacity // bs
+    cols_per = cfg.d_ff // bs
+    e = np.arange(cfg.n_experts)
+    # block-row r of expert e -> cols_per blocks at columns e*cols_per + j
+    rows, cols = [], []
+    for ei in e:
+        for r in range(rows_per):
+            for c in range(cols_per):
+                rows.append(ei * rows_per + r)
+                cols.append(ei * cols_per + c)
+    nnz = len(rows)
+    offsets = np.zeros(cfg.padded_tokens // bs + 1, np.int32)
+    np.add.at(offsets[1:], np.asarray(rows), 1)
+    offsets = np.cumsum(offsets).astype(np.int32)
+    return BlockSparseMatrix.create(
+        jnp.zeros((nnz, bs, bs), cfg.dtype),
+        jnp.asarray(offsets),
+        jnp.asarray(np.asarray(cols, np.int32)),
+        (cfg.padded_tokens, cfg.ff_total),
+    )
+
+
+def init_moe_params(rng: jax.Array, cfg: MoEConfig) -> Dict[str, jax.Array]:
+    k1, k2, k3 = jax.random.split(rng, 3)
+    scale1 = 1.0 / np.sqrt(cfg.d_model)
+    scale2 = 1.0 / np.sqrt(cfg.d_ff)
+    return {
+        "router": (jax.random.normal(k1, (cfg.d_model, cfg.n_experts)) * scale1).astype(
+            jnp.float32
+        ),
+        "w1": (jax.random.normal(k2, (cfg.d_model, cfg.ff_total)) * scale1).astype(
+            cfg.dtype
+        ),
+        "w2": (jax.random.normal(k3, (cfg.ff_total, cfg.d_model)) * scale2).astype(
+            cfg.dtype
+        ),
+    }
+
+
+def _route(logits: jax.Array, cfg: MoEConfig):
+    """Top-1 routing with capacity slots. Returns (slot, keep, prob, aux)."""
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    expert = jnp.argmax(probs, axis=-1)
+    prob = jnp.max(probs, axis=-1)
+    onehot = jax.nn.one_hot(expert, cfg.n_experts, dtype=jnp.int32)
+    pos_in_expert = jnp.cumsum(onehot, axis=0) - onehot
+    pos = jnp.sum(pos_in_expert * onehot, axis=-1)
+    keep = pos < cfg.capacity
+    slot = expert * cfg.capacity + jnp.minimum(pos, cfg.capacity - 1)
+    # Standard Switch-style load-balancing auxiliary loss.
+    me = jnp.mean(probs, axis=0)
+    ce = jnp.mean(onehot.astype(jnp.float32), axis=0)
+    aux = cfg.n_experts * jnp.sum(me * ce)
+    return slot, keep, prob, aux
+
+
+def moe_forward(
+    params: Dict[str, jax.Array],
+    x: jax.Array,  # (tokens, d_model)
+    cfg: MoEConfig,
+    topology: BlockSparseMatrix,
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (y, aux_loss). y has x's shape."""
+    t = x.shape[0]
+    logits = x.astype(jnp.float32) @ params["router"]
+    slot, keep, prob, aux = _route(logits, cfg)
+
+    # Scatter tokens into expert capacity slots; dropped tokens go to a
+    # sacrificial extra row that is sliced off.
+    slot_or_drop = jnp.where(keep, slot, cfg.padded_tokens)
+    x_perm = jnp.zeros((cfg.padded_tokens + 1, x.shape[1]), cfg.dtype)
+    x_perm = x_perm.at[slot_or_drop].set(x.astype(cfg.dtype))[: cfg.padded_tokens]
+
+    h = ops.sdd(x_perm, params["w1"], topology)  # sparse (EC, E*F)
+    h = h.with_data(jax.nn.gelu(h.data.astype(jnp.float32)).astype(cfg.dtype))
+    y_perm = ops.dsd(h, params["w2"])  # (EC, d)
+
+    y = jnp.take(y_perm, slot, axis=0).astype(jnp.float32)
+    y = y * (prob * keep.astype(jnp.float32))[:, None]
+    return y.astype(x.dtype), aux
+
+
+def moe_loss(params, x, target, cfg: MoEConfig, topology) -> jax.Array:
+    y, aux = moe_forward(params, x, cfg, topology)
+    mse = jnp.mean((y.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
+    return mse + cfg.router_aux_weight * aux

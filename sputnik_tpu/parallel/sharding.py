@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from sputnik_tpu.formats import BlockSparseMatrix, CsrMatrix
 from sputnik_tpu.kernels import bsr_dsd, bsr_sdd

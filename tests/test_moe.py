@@ -1,0 +1,78 @@
+"""MoE model tests: forward vs per-expert dense oracle, and a training step
+through the custom-VJP sparse backward."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sputnik_tpu import models
+
+
+@pytest.fixture
+def cfg():
+    return models.MoEConfig(
+        d_model=128, d_ff=128, n_experts=4, capacity=128, dtype=jnp.float32
+    )
+
+
+def _dense_oracle(params, x, cfg):
+    """Per-expert dense FFN, same routing math."""
+    logits = np.asarray(x, np.float32) @ np.asarray(params["router"])
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs = probs / probs.sum(-1, keepdims=True)
+    expert = probs.argmax(-1)
+    prob = probs.max(-1)
+    w1 = np.asarray(params["w1"], np.float32)
+    w2 = np.asarray(params["w2"], np.float32)
+    counts = np.zeros(cfg.n_experts, np.int64)
+    y = np.zeros((x.shape[0], cfg.d_model), np.float32)
+    for t in range(x.shape[0]):
+        e = expert[t]
+        if counts[e] >= cfg.capacity:
+            continue  # dropped
+        counts[e] += 1
+        w1_e = w1[:, e * cfg.d_ff : (e + 1) * cfg.d_ff]
+        w2_e = w2[e * cfg.d_ff : (e + 1) * cfg.d_ff, :]
+        h = np.asarray(jax.nn.gelu(np.asarray(x, np.float32)[t] @ w1_e))
+        y[t] = (h @ w2_e) * prob[t]
+    return y
+
+
+def test_moe_forward_matches_dense(rng, cfg):
+    key = jax.random.PRNGKey(0)
+    params = models.init_moe_params(key, cfg)
+    topo = models.block_diag_topology(cfg)
+    x = jnp.asarray(rng.standard_normal((96, cfg.d_model)).astype(np.float32))
+    y, aux = models.moe_forward(params, x, cfg, topo)
+    exp = _dense_oracle(params, x, cfg)
+    np.testing.assert_allclose(np.asarray(y, np.float32), exp, atol=5e-2, rtol=5e-2)
+    assert float(aux) > 0
+
+
+def test_moe_train_step_decreases_loss(rng, cfg):
+    import optax
+
+    key = jax.random.PRNGKey(1)
+    params = models.init_moe_params(key, cfg)
+    topo = models.block_diag_topology(cfg)
+    x = jnp.asarray(rng.standard_normal((128, cfg.d_model)).astype(np.float32))
+    target = jnp.asarray(rng.standard_normal((128, cfg.d_model)).astype(np.float32))
+
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        loss, grads = jax.value_and_grad(models.moe_loss)(
+            params, x, target, cfg, topo
+        )
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for _ in range(5):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(losses).all()
