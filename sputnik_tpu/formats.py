@@ -154,7 +154,7 @@ def sorted_row_swizzle(offsets: Array) -> Array:
         "indices_t",
         "block_offsets",
     ],
-    meta_fields=["shape", "block_size", "max_row_nnz", "max_col_nnz"],
+    meta_fields=["shape", "block_size", "max_row_nnz", "max_col_nnz", "min_row_nnz", "min_col_nnz"],
 )
 @dataclasses.dataclass(frozen=True)
 class BlockSparseMatrix:
@@ -185,6 +185,11 @@ class BlockSparseMatrix:
     # (arguments.h:49) so grids stay static.
     max_row_nnz: Optional[int] = None
     max_col_nnz: Optional[int] = None
+    # Minimum per-group hints: when >= 1 (no empty block-rows/cols, known at
+    # construction), DSD/DDS skip their empty-group output masking pass even
+    # under jit where offsets are traced.
+    min_row_nnz: Optional[int] = None
+    min_col_nnz: Optional[int] = None
 
     # -- static geometry ----------------------------------------------------
     @property
@@ -242,15 +247,17 @@ class BlockSparseMatrix:
         indices = indices.astype(jnp.int32)
         if row_indices is None:
             row_indices = row_indices_from_offsets(offsets, data.shape[0])
+        min_row_nnz = min_col_nnz = None
         if max_row_nnz is None and not isinstance(offsets, jax.core.Tracer):
             o = np.asarray(offsets)
-            max_row_nnz = int((o[1:] - o[:-1]).max()) if o.size > 1 else 0
+            counts = o[1:] - o[:-1]
+            max_row_nnz = int(counts.max()) if o.size > 1 else 0
+            min_row_nnz = int(counts.min()) if o.size > 1 else 0
         if max_col_nnz is None and not isinstance(indices, jax.core.Tracer):
             i = np.asarray(indices)
-            if i.size:
-                max_col_nnz = int(np.bincount(i, minlength=shape[1] // bs).max())
-            else:
-                max_col_nnz = 0
+            col_counts = np.bincount(i, minlength=shape[1] // bs)
+            max_col_nnz = int(col_counts.max()) if i.size else 0
+            min_col_nnz = int(col_counts.min()) if i.size else 0
         m = BlockSparseMatrix(
             data=data,
             offsets=offsets,
@@ -263,6 +270,8 @@ class BlockSparseMatrix:
             block_size=bs,
             max_row_nnz=max_row_nnz,
             max_col_nnz=max_col_nnz,
+            min_row_nnz=min_row_nnz,
+            min_col_nnz=min_col_nnz,
         )
         if with_transpose:
             m = m.with_transpose_metadata()
@@ -328,6 +337,8 @@ class BlockSparseMatrix:
             block_size=self.block_size,
             max_row_nnz=self.max_col_nnz,
             max_col_nnz=self.max_row_nnz,
+            min_row_nnz=self.min_col_nnz,
+            min_col_nnz=self.min_row_nnz,
         )
 
     def to_dense(self) -> Array:

@@ -50,16 +50,19 @@ from sputnik_tpu.kernels.common import (
 __all__ = ["dsd", "dds"]
 
 
-def _mask_empty_groups(out, offsets, bs: int, axis: int):
+def _mask_empty_groups(out, offsets, bs: int, axis: int, min_hint=None):
     """Zero output tiles the kernel never visited.
 
     The stream kernel writes an output tile only when at least one sparse
     block maps to it; a block-row (DSD) / block-column (DDS) with no blocks
     leaves uninitialized HBM behind. (The reference's CUTLASS epilogue
     always writes every tile of the dense output grid; our grid is the nnz
-    list.) When the offsets are concrete and show no empty groups — the
-    common case — this is a no-op with zero runtime cost.
+    list.) When the descriptor's static min-nnz hint proves no empty groups
+    — or the offsets are concrete and show none — this is a no-op with zero
+    runtime cost.
     """
+    if min_hint is not None and min_hint >= 1:
+        return out
     if not isinstance(offsets, jax.core.Tracer):
         counts = np.asarray(offsets)
         if (counts[1:] - counts[:-1] > 0).all():
@@ -189,6 +192,7 @@ def dsd(
     group_offsets = (
         a.with_transpose_metadata().offsets_t if transpose_a else a.offsets
     )
+    min_hint = a.min_col_nnz if transpose_a else a.min_row_nnz
     bn = pick_tile(n_dim, n_tile)
     if transpose_b:  # B stored (N, K)
         panel_spec = pl.BlockSpec(
@@ -215,7 +219,7 @@ def dsd(
         out_dtype=out_dtype,
         interpret=interpret,
     )
-    return _mask_empty_groups(out, group_offsets, bs, axis=0)
+    return _mask_empty_groups(out, group_offsets, bs, axis=0, min_hint=min_hint)
 
 
 def dds(
@@ -253,6 +257,7 @@ def dds(
     group_offsets = (
         b.offsets if transpose_b else b.with_transpose_metadata().offsets_t
     )
+    min_hint = b.min_row_nnz if transpose_b else b.min_col_nnz
     bm = pick_tile(m_dim, m_tile)
     if transpose_a:  # A stored (K, M)
         panel_spec = pl.BlockSpec(
@@ -279,4 +284,4 @@ def dds(
         out_dtype=out_dtype,
         interpret=interpret,
     )
-    return _mask_empty_groups(out, group_offsets, bs, axis=1)
+    return _mask_empty_groups(out, group_offsets, bs, axis=1, min_hint=min_hint)

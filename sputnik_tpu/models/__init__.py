@@ -8,6 +8,13 @@ from sputnik_tpu.models.moe import (
     moe_forward,
     moe_loss,
 )
+from sputnik_tpu.models.attention import (
+    band_topology,
+    causal_block_topology,
+    block_sparse_attention,
+    multihead_block_sparse_attention,
+)
+from sputnik_tpu.models import moe_parallel
 
 __all__ = [
     "MoEConfig",
@@ -15,4 +22,9 @@ __all__ = [
     "init_moe_params",
     "moe_forward",
     "moe_loss",
+    "band_topology",
+    "causal_block_topology",
+    "block_sparse_attention",
+    "multihead_block_sparse_attention",
+    "moe_parallel",
 ]

@@ -1,0 +1,108 @@
+"""Block-sparse attention: SDD (scores) -> BSR softmax -> DSD (output).
+
+The attention stack upstream Sputnik's CSR kernels were built for (SpMM +
+SDDMM + sparse softmax), at MXU-native 128-block granularity — the
+structure of BigBird / Longformer / block-local attention. The score
+topology is an explicit BSR mask, so all three ops skip absent blocks
+entirely; compute scales with the number of stored blocks, not T^2.
+
+Differentiable end to end (SDD/DSD custom VJPs + jnp softmax).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sputnik_tpu import ops
+from sputnik_tpu.formats import BlockSparseMatrix
+from sputnik_tpu.ops.softmax import bsr_softmax
+
+__all__ = [
+    "band_topology",
+    "causal_block_topology",
+    "block_sparse_attention",
+    "multihead_block_sparse_attention",
+]
+
+
+def _topology_from_mask(mask: np.ndarray, t: int, bs: int, dtype) -> BlockSparseMatrix:
+    rows, cols = np.nonzero(mask)
+    order = np.lexsort((cols, rows))
+    rows, cols = rows[order], cols[order]
+    offsets = np.zeros(t // bs + 1, np.int32)
+    np.add.at(offsets[1:], rows, 1)
+    offsets = np.cumsum(offsets).astype(np.int32)
+    data = jnp.zeros((len(rows), bs, bs), dtype)
+    return BlockSparseMatrix.create(
+        data, jnp.asarray(offsets), jnp.asarray(cols.astype(np.int32)), (t, t)
+    )
+
+
+def band_topology(
+    seq_len: int, window_blocks: int, block_size: int = 128, *, dtype=jnp.bfloat16,
+    global_blocks: int = 0,
+) -> BlockSparseMatrix:
+    """Banded (local-window) score topology, optionally with leading global
+    blocks attending everywhere / attended by everyone (BigBird-style)."""
+    nb = seq_len // block_size
+    r = np.arange(nb)[:, None]
+    c = np.arange(nb)[None, :]
+    mask = np.abs(r - c) < window_blocks
+    if global_blocks:
+        mask[:global_blocks, :] = True
+        mask[:, :global_blocks] = True
+    return _topology_from_mask(mask, seq_len, block_size, dtype)
+
+
+def causal_block_topology(
+    seq_len: int, block_size: int = 128, *, window_blocks: Optional[int] = None,
+    dtype=jnp.bfloat16,
+) -> BlockSparseMatrix:
+    """Block-lower-triangular topology (optionally banded): use together
+    with ``bsr_softmax(..., causal=True)`` for exact causal attention."""
+    nb = seq_len // block_size
+    r = np.arange(nb)[:, None]
+    c = np.arange(nb)[None, :]
+    mask = c <= r
+    if window_blocks is not None:
+        mask &= (r - c) < window_blocks
+    return _topology_from_mask(mask, seq_len, block_size, dtype)
+
+
+def block_sparse_attention(
+    q: jax.Array,  # (T, dh)
+    k: jax.Array,  # (T, dh)
+    v: jax.Array,  # (T, dh)
+    topology: BlockSparseMatrix,
+    *,
+    causal: bool = False,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Single-head block-sparse attention. compute ~ O(nnz_blocks * 128^2 * dh)."""
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(q.shape[-1]))
+    scores = ops.sdd(q, k, topology, transpose_b=True)  # (T, T) sparse
+    probs = bsr_softmax(scores, scale=scale, causal=causal)
+    return ops.dsd(probs, v)
+
+
+def multihead_block_sparse_attention(
+    q: jax.Array,  # (H, T, dh)
+    k: jax.Array,
+    v: jax.Array,
+    topology: BlockSparseMatrix,
+    *,
+    causal: bool = False,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """(H, T, dh) multi-head wrapper (static unroll over heads; each head's
+    three sparse ops pipeline independently under jit)."""
+    outs = [
+        block_sparse_attention(q[h], k[h], v[h], topology, causal=causal, scale=scale)
+        for h in range(q.shape[0])
+    ]
+    return jnp.stack(outs)

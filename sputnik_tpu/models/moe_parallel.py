@@ -92,7 +92,7 @@ def make_sharded_moe_loss(mesh: Mesh, cfg: moe_lib.MoEConfig, total_tokens: int)
             P("data", None),
         ),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
 
     def loss_fn(params, x, target):

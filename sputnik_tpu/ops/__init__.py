@@ -12,6 +12,8 @@ from sputnik_tpu.ops.matmul import (
 )
 from sputnik_tpu.ops import registry
 from sputnik_tpu.ops.autodiff import make_differentiable, grad, value_and_grad
+from sputnik_tpu.ops.softmax import bsr_softmax
+from sputnik_tpu.ops import csr
 
 _AD = make_differentiable(_matmul_module)
 
@@ -62,4 +64,6 @@ __all__ = [
     "registry",
     "grad",
     "value_and_grad",
+    "bsr_softmax",
+    "csr",
 ]

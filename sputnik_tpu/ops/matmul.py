@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from sputnik_tpu.formats import BlockSparseMatrix
-from sputnik_tpu.kernels import bsr_dsd, bsr_sdd, bsr_ssd, bsr_dss, reference
+from sputnik_tpu.kernels import bsr_dsd, bsr_dsd_pipelined, bsr_sdd, bsr_ssd, bsr_dss, reference
 from sputnik_tpu.ops import registry
 
 __all__ = [
@@ -60,6 +60,9 @@ def _dsd_can(a, b, transpose_a=False, transpose_b=False, out_dtype=None, **kw):
 
 
 registry.register("dsd", "pallas_stream", _dsd_can, bsr_dsd.dsd)
+# Manual-DMA pipeline variant (opt-in via variant="pallas_pipelined"):
+# matches the streamed kernel at large shapes; useful for tuning studies.
+registry.register("dsd", "pallas_pipelined", lambda *a, **k: False, bsr_dsd_pipelined.dsd)
 registry.register("dsd", "jnp_fallback", lambda *a, **k: True, reference.dsd)
 
 
@@ -97,6 +100,7 @@ def _dds_can(a, b, transpose_a=False, transpose_b=False, out_dtype=None, **kw):
 
 
 registry.register("dds", "pallas_stream", _dds_can, bsr_dsd.dds)
+registry.register("dds", "pallas_pipelined", lambda *a, **k: False, bsr_dsd_pipelined.dds)
 registry.register("dds", "jnp_fallback", lambda *a, **k: True, reference.dds)
 
 

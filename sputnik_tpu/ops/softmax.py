@@ -1,0 +1,60 @@
+"""Sparse softmax over BSR rows (the block-granular sibling of the CSR
+``sparse_softmax``; upstream Sputnik ships the CSR one for attention).
+
+Semantics: softmax over each element-row across that row's *stored* blocks
+only — absent blocks behave as -inf (they receive no probability), exactly
+what block-sparse attention needs. Stored zero values DO participate (same
+caveat as the reference's CSR softmax over padding values).
+
+Pure jittable segment ops over the packed block data: differentiable, fuses
+with the surrounding XLA program, and vectorizes on the VPU. A fused
+Pallas SDD+softmax variant is a planned registry addition.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from sputnik_tpu.formats import BlockSparseMatrix
+
+__all__ = ["bsr_softmax"]
+
+
+def bsr_softmax(
+    m: BlockSparseMatrix,
+    *,
+    scale: float | None = None,
+    causal: bool = False,
+) -> BlockSparseMatrix:
+    """Row-wise softmax over the nonzero blocks.
+
+    ``causal=True`` applies an intra-block lower-triangular mask to diagonal
+    blocks and fully masks blocks above the diagonal — with a
+    block-lower-triangular topology this yields exact causal attention.
+    """
+    bs = m.block_size
+    if m.nnz_blocks == 0:
+        return m
+    data = m.data.astype(jnp.float32)
+    if scale is not None:
+        data = data * scale
+    if causal:
+        r = jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 1)
+        intra = r >= c  # lower-triangular inside a block
+        on_diag = (m.row_indices == m.indices)[:, None, None]
+        below = (m.row_indices > m.indices)[:, None, None]
+        keep = jnp.where(on_diag, intra[None], below)
+        data = jnp.where(keep, data, -jnp.inf)
+
+    rows = m.row_indices
+    nseg = m.block_rows
+    # (nnz, bs): per-block max/sum along the block's columns.
+    blk_max = jnp.max(data, axis=2)
+    row_max = jax.ops.segment_max(blk_max, rows, num_segments=nseg)
+    row_max = jnp.maximum(row_max, -jnp.finfo(jnp.float32).max)  # empty rows
+    e = jnp.exp(data - row_max[rows][:, :, None])
+    row_sum = jax.ops.segment_sum(jnp.sum(e, axis=2), rows, num_segments=nseg)
+    denom = jnp.maximum(row_sum[rows][:, :, None], 1e-30)
+    return m.with_data((e / denom).astype(m.dtype))

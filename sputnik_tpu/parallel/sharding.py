@@ -253,7 +253,7 @@ def sharded_dsd(
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), b_spec),
         out_specs=P(axis),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(a.data, a.offsets, a.indices, a.row_indices, b)
 
@@ -283,7 +283,7 @@ def sharded_sdd(
         mesh=mesh,
         in_specs=(P(axis), P(), P(axis), P(axis), P(axis), P(axis)),
         out_specs=P(axis),
-        check_rep=False,
+        check_vma=False,
     )
     data = fn(a, b, topology.data, topology.offsets, topology.indices, topology.row_indices)
     return dataclasses.replace(topology, data=data)
@@ -314,6 +314,6 @@ def sharded_spmm(
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
         out_specs=P(axis),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(a.values, a.indices, a.offsets, a.row_indices, b)
