@@ -22,6 +22,7 @@ Design notes (vs. the CUDA reference):
 from sputnik_tpu.formats import (
     BlockSparseMatrix,
     CsrMatrix,
+    EllMatrix,
     bsr_from_dense,
     csr_from_dense,
 )
@@ -34,6 +35,7 @@ __version__ = "0.1.0"
 __all__ = [
     "BlockSparseMatrix",
     "CsrMatrix",
+    "EllMatrix",
     "bsr_from_dense",
     "csr_from_dense",
     "ops",

@@ -1,0 +1,210 @@
+"""Per-kernel roofline audit (BASELINE: "every kernel roofline-audited per
+chip").
+
+For each op: an analytic flops/bytes model, measured device time, and the
+achieved fraction of the roofline bound
+``sol_t = max(flops/peak_flops, bytes/peak_bw)``.
+
+Run:  python -m sputnik_tpu.bench.roofline [--d 2048] [--density 0.25]
+Writes a markdown table to stdout and JSON to roofline_audit.json.
+
+Chip peaks default to TPU v5e (197 TFLOP/s bf16, 819 GB/s); override with
+--peak-tflops / --peak-gbps for other parts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+PEAKS = {"bf16_flops": 197e12, "f32_flops": 49e12, "hbm_bps": 819e9}
+
+
+def _itemsize(dtype):
+    import jax.numpy as jnp
+
+    return jnp.dtype(dtype).itemsize
+
+
+def audit(d: int = 2048, density: float = 0.25, dtype_name: str = "bfloat16",
+          chain: int = 8, runs: int = 3, peaks=PEAKS):
+    import jax.numpy as jnp
+    from sputnik_tpu import ops
+    from sputnik_tpu.ops import csr as csr_ops
+    from sputnik_tpu.ops.softmax import bsr_softmax
+    from sputnik_tpu.utils import testing
+    from sputnik_tpu.utils.profiling import device_time
+
+    dtype = jnp.dtype(dtype_name)
+    isz = _itemsize(dtype)
+    rng = np.random.default_rng(7)
+    a = testing.random_bsr(rng, d, d, int(d * d * density), 128, dtype=dtype)
+    b = jnp.asarray(rng.standard_normal((d, d)).astype(np.float32)).astype(dtype)
+    topo = testing.random_bsr(rng, d, d, int(d * d * density), 128, dtype=dtype)
+    nnz = a.nnz
+    nnz_b = a.nnz_blocks
+    peak_flops = peaks["bf16_flops"] if dtype == jnp.bfloat16 else peaks["f32_flops"]
+    bw = peaks["hbm_bps"]
+
+    rows = []
+
+    def add(name, fn, args, flops, bytes_moved, perturb=0):
+        try:
+            m = device_time(fn, *args, chain=chain, runs=runs, perturb_index=perturb)
+        except Exception as e:  # record the failure, keep auditing
+            rows.append({"op": name, "error": str(e)[:120]})
+            return
+        t = m["time_s"]
+        sol = max(flops / peak_flops, bytes_moved / bw)
+        rows.append(
+            {
+                "op": name,
+                "time_us": t * 1e6,
+                "gflops": flops / t / 1e9,
+                "flops": flops,
+                "bytes": bytes_moved,
+                "bound": "compute" if flops / peak_flops > bytes_moved / bw else "bandwidth",
+                "frac_sol": sol / t,
+                "timing": m["timing"],
+            }
+        )
+
+    # DSD: per nnz block, one (128, N) B panel read; A once; out once.
+    add(
+        "bsr_dsd",
+        lambda a_, b_: ops.matmul_dsd(a_, b_),
+        (a, b),
+        2 * nnz * d,
+        nnz_b * 128 * d * isz + nnz * isz + d * d * isz,
+        perturb=1,
+    )
+    add(
+        "bsr_dds",
+        lambda b_, m_: ops.matmul_dds(b_, m_),
+        (b, a),
+        2 * nnz * d,
+        nnz_b * 128 * d * isz + nnz * isz + d * d * isz,
+        perturb=0,
+    )
+    # SDD: per output block, full K strips of A and B; one packed block out.
+    add(
+        "bsr_sdd",
+        lambda x_, y_: ops.matmul_sdd(x_, y_, topo).data,
+        (b, b),
+        2 * topo.nnz * d,
+        2 * topo.nnz_blocks * 128 * d * isz + topo.nnz * isz,
+        perturb=0,
+    )
+    # SSD: per output block, A row blocks + matching B panels (bs wide).
+    avg_row = max(a.nnz_blocks / a.block_rows, 1)
+    add(
+        "bsr_ssd",
+        lambda a_, b_: ops.matmul_ssd(a_, b_, topo).data,
+        (a, b),
+        2 * topo.nnz_blocks * avg_row * 128**3,
+        topo.nnz_blocks * avg_row * (128 * 128 * 2 * isz) + topo.nnz * isz,
+        perturb=1,
+    )
+    add(
+        "bsr_sds",
+        lambda b_, m_: ops.matmul_sds(b_, m_, topo).data,
+        (b, a),
+        2 * topo.nnz_blocks * avg_row * 128**3,
+        topo.nnz_blocks * avg_row * (128 * 128 * 2 * isz) + topo.nnz * isz,
+        perturb=0,
+    )
+    # DSS: m_blocks * n_blocks tiles x avg A-row steps (masked B hits).
+    mb = d // 128
+    add(
+        "bsr_dss",
+        lambda a_, b_: ops.matmul_dss(a_, b_),
+        (a, topo),
+        int(2 * mb * mb * avg_row * 128**3 * density),
+        int(mb * mb * avg_row * (128 * 128 * 2 * isz)) + d * d * isz,
+        perturb=0,
+    )
+    add(
+        "bsr_softmax",
+        lambda m_: bsr_softmax(m_).data,
+        (a,),
+        5 * nnz,
+        2 * nnz * isz,
+        perturb=0,
+    )
+
+    # CSR engine (ELL fast paths) at the north-star config scale.
+    from sputnik_tpu.formats import EllMatrix
+
+    c = testing.random_csr(rng, d, d, int(d * d * 0.1), dtype=jnp.float32)
+    e_mat = EllMatrix.from_csr(c)
+    bn = 256
+    bm = jnp.asarray(rng.standard_normal((d, bn)).astype(np.float32))
+    add(
+        "csr_spmm(ell)",
+        lambda c_, b_: csr_ops.spmm(c_, b_),
+        (e_mat, bm),
+        2 * e_mat.nnz * bn,
+        e_mat.nnz * (bn + 1) * 4 + d * bn * 4,
+        perturb=1,
+    )
+    qm = jnp.asarray(rng.standard_normal((d, 64)).astype(np.float32))
+    km = jnp.asarray(rng.standard_normal((d, 64)).astype(np.float32))
+    ctopo = EllMatrix.from_csr(
+        testing.random_csr(rng, d, d, int(d * d * 0.05), dtype=jnp.float32)
+    )
+    add(
+        "csr_sddmm(ell)",
+        lambda q_, k_: csr_ops.sddmm(q_, k_, ctopo).values,
+        (qm, km),
+        2 * ctopo.nnz * 64,
+        ctopo.nnz * (2 * 64 + 1) * 4,
+        perturb=0,
+    )
+    add(
+        "csr_softmax(ell)",
+        lambda c_: csr_ops.sparse_softmax(c_).values,
+        (e_mat,),
+        5 * e_mat.nnz,
+        2 * e_mat.nnz * 4,
+        perturb=0,
+    )
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--d", type=int, default=2048)
+    ap.add_argument("--density", type=float, default=0.25)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--peak-tflops", type=float, default=None)
+    ap.add_argument("--peak-gbps", type=float, default=None)
+    ap.add_argument("--out", default="roofline_audit.json")
+    args = ap.parse_args()
+    peaks = dict(PEAKS)
+    if args.peak_tflops:
+        peaks["bf16_flops"] = args.peak_tflops * 1e12
+    if args.peak_gbps:
+        peaks["hbm_bps"] = args.peak_gbps * 1e9
+
+    rows = audit(args.d, args.density, args.dtype, peaks=peaks)
+    print(f"# Roofline audit — d={args.d}, density={args.density}, {args.dtype}\n")
+    print("| op | time (us) | GFLOP/s | bound | frac of SoL | timing |")
+    print("|---|---|---|---|---|---|")
+    for r in rows:
+        if "error" in r:
+            print(f"| {r['op']} | ERROR: {r['error']} | | | | |")
+        else:
+            print(
+                f"| {r['op']} | {r['time_us']:.0f} | {r['gflops']:.0f} | "
+                f"{r['bound']} | {r['frac_sol']:.2f} | {r['timing']} |"
+            )
+    with open(args.out, "w") as f:
+        json.dump(rows, f, indent=2)
+    print(f"\n(written to {args.out})", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -47,6 +47,7 @@ Array = jax.Array
 __all__ = [
     "BlockSparseMatrix",
     "CsrMatrix",
+    "EllMatrix",
     "bsr_from_dense",
     "bsr_to_dense",
     "csr_from_dense",
@@ -508,3 +509,117 @@ def csr_from_dense(x: Array | np.ndarray, *, pad_rows_to: int = 1) -> CsrMatrix:
 def csr_to_dense(m: CsrMatrix) -> Array:
     dense = jnp.zeros(m.shape, m.values.dtype)
     return dense.at[m.row_indices, m.indices].add(m.values)
+
+
+# ---------------------------------------------------------------------------
+# EllMatrix — padded-row layout, the TPU-fast clothing for CSR
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["values", "indices", "row_nnz"],
+    meta_fields=["shape"],
+)
+@dataclasses.dataclass(frozen=True)
+class EllMatrix:
+    """ELL (padded rows) sparse matrix: ``values/indices`` are dense
+    ``(rows, width)`` with per-row occupancy ``row_nnz``.
+
+    Element-granular scatters/gathers cost ~10 ns each on TPU, which makes
+    raw CSR segment ops hopeless; rectangles of row-gathers and dense VPU
+    math are the native idiom. This plays the role of upstream Sputnik's
+    row-binning/swizzle load-balance machinery (``matrix_utils.cu:348-363``,
+    ``tiling_utils.h``): instead of binning warps onto ragged rows, bin the
+    rows into a rectangle. Padding slots have value 0 and a clamped valid
+    column id (inert in matmuls, masked in softmax).
+    """
+
+    values: Array  # (rows, width)
+    indices: Array  # (rows, width) int32
+    row_nnz: Array  # (rows,) int32
+    shape: Tuple[int, int]
+
+    @property
+    def rows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def cols(self) -> int:
+        return self.shape[1]
+
+    @property
+    def width(self) -> int:
+        return self.values.shape[1]
+
+    @property
+    def nnz(self) -> int:  # padded
+        return self.values.shape[0] * self.values.shape[1]
+
+    @property
+    def dtype(self):
+        return self.values.dtype
+
+    def valid_mask(self) -> Array:
+        w = jax.lax.broadcasted_iota(jnp.int32, (self.rows, self.width), 1)
+        return w < self.row_nnz[:, None]
+
+    def with_values(self, values: Array) -> "EllMatrix":
+        if values.shape != self.values.shape:
+            raise ValueError(f"values shape {values.shape} != {self.values.shape}")
+        return dataclasses.replace(self, values=values)
+
+    def astype(self, dtype) -> "EllMatrix":
+        return dataclasses.replace(self, values=self.values.astype(dtype))
+
+    @staticmethod
+    def from_csr(m: CsrMatrix, width: Optional[int] = None) -> "EllMatrix":
+        """CSR -> ELL. With concrete metadata this runs on host (cheap numpy,
+        avoiding the device's slow element gathers); traced falls back to a
+        jitted gather. ``width`` defaults to the max row nnz."""
+        row_nnz = m.offsets[1:] - m.offsets[:-1]
+        if not isinstance(m.offsets, jax.core.Tracer):
+            o = np.asarray(m.offsets)
+            counts = o[1:] - o[:-1]
+            w = int(counts.max()) if width is None else int(width)
+            rows = m.rows
+            slots = np.minimum(
+                o[:-1, None] + np.arange(w)[None, :], max(int(o[-1]) - 1, 0)
+            )
+            valid = np.arange(w)[None, :] < counts[:, None]
+            if not isinstance(m.values, jax.core.Tracer):
+                vals = np.where(valid, np.asarray(m.values)[slots], 0)
+                vals = jnp.asarray(vals)
+            else:
+                vals = jnp.where(
+                    jnp.asarray(valid), jnp.take(m.values, jnp.asarray(slots)), 0
+                )
+            idx = np.where(valid, np.asarray(m.indices)[slots], 0).astype(np.int32)
+            return EllMatrix(
+                values=vals,
+                indices=jnp.asarray(idx),
+                row_nnz=jnp.asarray(counts.astype(np.int32)),
+                shape=m.shape,
+            )
+        if width is None:
+            raise ValueError("width must be given for traced CSR metadata")
+        r = jnp.arange(m.rows, dtype=jnp.int32)[:, None]
+        wv = jnp.arange(width, dtype=jnp.int32)[None, :]
+        slots = m.offsets[:-1][:, None] + wv
+        valid = slots < m.offsets[1:][:, None]
+        slots = jnp.minimum(slots, max(m.nnz - 1, 0))
+        del r
+        return EllMatrix(
+            values=jnp.where(valid, jnp.take(m.values, slots), 0),
+            indices=jnp.where(valid, jnp.take(m.indices, slots), 0).astype(jnp.int32),
+            row_nnz=(m.offsets[1:] - m.offsets[:-1]).astype(jnp.int32),
+            shape=m.shape,
+        )
+
+    def to_dense(self) -> Array:
+        dense = jnp.zeros(self.shape, self.values.dtype)
+        r = jnp.broadcast_to(
+            jnp.arange(self.rows, dtype=jnp.int32)[:, None], self.values.shape
+        )
+        vals = jnp.where(self.valid_mask(), self.values, 0)
+        return dense.at[r.reshape(-1), self.indices.reshape(-1)].add(vals.reshape(-1))

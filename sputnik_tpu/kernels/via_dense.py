@@ -1,0 +1,66 @@
+"""Dense-detour kernel variants for SSD / SDS / DSS.
+
+The direct output-stationary kernels for these ops run (128,128) tiles per
+step and sit at ~0.2 of speed-of-light; the DSD/DDS stream kernels run at
+~1.0. Above a density threshold it is faster to run the at-SoL kernel on
+the full dense output (SSD/SDS) or a densified operand (DSS) and pay the
+extract/densify bandwidth: a deliberate flops-for-bandwidth trade the
+roofline favors on TPU. The registry picks these first when the static
+descriptor density clears the threshold; the direct kernels keep the
+extreme-sparsity regime.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from sputnik_tpu.formats import BlockSparseMatrix, bsr_to_dense
+from sputnik_tpu.kernels import bsr_dsd
+from sputnik_tpu.kernels.reference import extract_blocks
+
+__all__ = ["ssd", "sds", "dss", "DENSITY_THRESHOLD"]
+
+# Below this block density the direct variable-step kernels win.
+DENSITY_THRESHOLD = 1 / 16
+
+
+def ssd(a, b, topology, *, transpose_a=False, transpose_b=False, out_dtype=None, **kw):
+    out_dtype = out_dtype or topology.dtype
+    full = bsr_dsd.dsd(
+        a, b, transpose_a=transpose_a, transpose_b=transpose_b,
+        out_dtype=out_dtype, **kw,
+    )
+    return topology.with_data(extract_blocks(full, topology))
+
+
+def sds(a, b, topology, *, transpose_a=False, transpose_b=False, out_dtype=None, **kw):
+    out_dtype = out_dtype or topology.dtype
+    full = bsr_dsd.dds(
+        a, b, transpose_a=transpose_a, transpose_b=transpose_b,
+        out_dtype=out_dtype, **kw,
+    )
+    return topology.with_data(extract_blocks(full, topology))
+
+
+def dss(a: BlockSparseMatrix, b: BlockSparseMatrix, *, transpose_a=False,
+        transpose_b=False, out_dtype=None, **kw):
+    out_dtype = out_dtype or a.dtype
+    # Densify the side with fewer bytes; keep the other sparse in the
+    # at-SoL stream kernel.
+    if a.nnz <= b.nnz:
+        return bsr_dsd.dds(
+            bsr_to_dense(a),
+            b,
+            transpose_a=transpose_a,
+            transpose_b=transpose_b,
+            out_dtype=out_dtype,
+            **kw,
+        )
+    return bsr_dsd.dsd(
+        a,
+        bsr_to_dense(b),
+        transpose_a=transpose_a,
+        transpose_b=transpose_b,
+        out_dtype=out_dtype,
+        **kw,
+    )

@@ -8,6 +8,7 @@ from sputnik_tpu.models.moe import (
     moe_forward,
     moe_loss,
 )
+from sputnik_tpu.models.moe import dropless_moe_forward, dropless_topology
 from sputnik_tpu.models.attention import (
     band_topology,
     causal_block_topology,
@@ -22,6 +23,8 @@ __all__ = [
     "init_moe_params",
     "moe_forward",
     "moe_loss",
+    "dropless_moe_forward",
+    "dropless_topology",
     "band_topology",
     "causal_block_topology",
     "block_sparse_attention",

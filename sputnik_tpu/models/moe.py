@@ -152,3 +152,84 @@ def moe_loss(params, x, target, cfg: MoEConfig, topology) -> jax.Array:
     y, aux = moe_forward(params, x, cfg, topology)
     mse = jnp.mean((y.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
     return mse + cfg.router_aux_weight * aux
+
+
+# ---------------------------------------------------------------------------
+# Dropless MoE — variable block-diagonal topology computed inside jit
+# ---------------------------------------------------------------------------
+
+
+def dropless_topology(expert_rows: jax.Array, cfg: MoEConfig, max_block_rows: int) -> BlockSparseMatrix:
+    """Block-diagonal topology whose group sizes are TRACED (MegaBlocks'
+    dropless construction): padded block-row r of the permuted token buffer
+    belongs to expert ``expert_of_row(r)`` and hits that expert's d_ff
+    column blocks. Offsets are static (every row has d_ff/bs blocks), so
+    the DSD/SDD static grids and hints stay intact; only the column ids are
+    data-dependent — exactly what the scalar-prefetch kernels allow."""
+    bs = cfg.block_size
+    f_blocks = cfg.d_ff // bs
+    nnz = max_block_rows * f_blocks
+    offsets = np.arange(max_block_rows + 1, dtype=np.int32) * f_blocks  # static
+    row_of = np.repeat(np.arange(max_block_rows, dtype=np.int32), f_blocks)
+    # expert of padded block row r (rows beyond the last group clamp to E-1;
+    # their token rows are zero so their blocks compute zeros).
+    bounds = jnp.cumsum(expert_rows)
+    expert_of_row = jnp.searchsorted(
+        bounds, jnp.arange(max_block_rows, dtype=jnp.int32), side="right"
+    ).astype(jnp.int32)
+    expert_of_row = jnp.minimum(expert_of_row, cfg.n_experts - 1)
+    col_within = np.tile(np.arange(f_blocks, dtype=np.int32), max_block_rows)
+    indices = expert_of_row[row_of] * f_blocks + jnp.asarray(col_within)
+    data = jnp.zeros((nnz, bs, bs), cfg.dtype)
+    return BlockSparseMatrix.create(
+        data,
+        jnp.asarray(offsets),
+        indices,
+        (max_block_rows * bs, cfg.ff_total),
+        row_indices=jnp.asarray(row_of),
+        max_row_nnz=f_blocks,
+    )
+
+
+def dropless_moe_forward(
+    params: Dict[str, jax.Array],
+    x: jax.Array,  # (tokens, d_model)
+    cfg: MoEConfig,
+) -> Tuple[jax.Array, jax.Array]:
+    """Dropless top-1 MoE FFN: NO capacity, no dropped tokens. Every expert's
+    token group is padded up to a block multiple; the total padded rows are
+    statically bounded by tokens + n_experts * block (XLA-safe), and the
+    block-diagonal topology's metadata is computed on device per step.
+    Reference behavior: MegaBlocks (arXiv 2211.15841) on top of the
+    reference's BSR kernels.
+    """
+    t = x.shape[0]
+    bs = cfg.block_size
+    e = cfg.n_experts
+    max_block_rows = -(-t // bs) + e  # static bound on padded block rows
+    t_pad = max_block_rows * bs
+
+    logits = x.astype(jnp.float32) @ params["router"]
+    probs = jax.nn.softmax(logits, axis=-1)
+    expert = jnp.argmax(probs, axis=-1)
+    prob = jnp.max(probs, axis=-1)
+    onehot = jax.nn.one_hot(expert, e, dtype=jnp.int32)
+    counts = jnp.sum(onehot, axis=0)
+    expert_rows = -(-counts // bs)  # padded block rows per expert (traced)
+    group_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(expert_rows[:-1]).astype(jnp.int32)]
+    ) * bs
+    pos_in_expert = jnp.sum((jnp.cumsum(onehot, axis=0) - onehot) * onehot, axis=-1)
+    dest = group_start[expert] + pos_in_expert  # always < t_pad (no drops)
+
+    x_perm = jnp.zeros((t_pad, x.shape[1]), cfg.dtype).at[dest].set(x.astype(cfg.dtype))
+    topo = dropless_topology(expert_rows, cfg, max_block_rows)
+    h = ops.sdd(x_perm, params["w1"], topo)
+    h = h.with_data(jax.nn.gelu(h.data.astype(jnp.float32)).astype(cfg.dtype))
+    y_perm = ops.dsd(h, params["w2"])
+
+    y = jnp.take(y_perm, dest, axis=0).astype(jnp.float32) * prob[:, None]
+    me = jnp.mean(probs, axis=0)
+    ce = jnp.mean(onehot.astype(jnp.float32), axis=0)
+    aux = e * jnp.sum(me * ce)
+    return y.astype(x.dtype), aux

@@ -26,30 +26,43 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from sputnik_tpu.formats import CsrMatrix, sorted_row_swizzle
+from sputnik_tpu.formats import CsrMatrix, EllMatrix, sorted_row_swizzle
 
-__all__ = ["spmm", "sddmm", "sparse_softmax", "row_swizzle", "ell_from_csr"]
+__all__ = [
+    "spmm",
+    "sddmm",
+    "sparse_softmax",
+    "row_swizzle",
+    "ell_from_csr",
+    "spmm_ell",
+    "sddmm_ell",
+    "sparse_softmax_ell",
+]
 
 
 def spmm(
-    a: CsrMatrix,
+    a: CsrMatrix | EllMatrix,
     b: jax.Array,
     *,
     transpose_b: bool = False,
     out_dtype=None,
 ) -> jax.Array:
-    """C[M, N] = A_csr @ op(B_dense)   (upstream Sputnik ``CudaSpmm``).
+    """C[M, N] = A_sparse @ op(B_dense)   (upstream Sputnik ``CudaSpmm``).
 
-    Per-nonzero: gather B row ``indices[e]``, scale by ``values[e]``,
-    segment-sum into C row ``row_indices[e]`` with fp32 accumulation.
-    Zero-valued padding entries are inert by construction.
+    ELL inputs (or CSR with concrete metadata, converted on the host) take
+    the fast row-gather path; the raw-CSR segment-sum path is the fallback
+    for traced metadata. Zero-valued padding entries are inert.
     """
     out_dtype = out_dtype or a.dtype
     if transpose_b:
         b = b.T
+    if isinstance(a, EllMatrix):
+        return spmm_ell(a, b, out_dtype=out_dtype)
     n = b.shape[1]
     if a.nnz == 0:
         return jnp.zeros((a.rows, n), out_dtype)
+    if not isinstance(a.offsets, jax.core.Tracer):
+        return spmm_ell(EllMatrix.from_csr(a), b, out_dtype=out_dtype)
     gathered = jnp.take(b, a.indices, axis=0).astype(jnp.float32)
     prods = gathered * a.values.astype(jnp.float32)[:, None]
     out = jax.ops.segment_sum(
@@ -58,22 +71,59 @@ def spmm(
     return out.astype(out_dtype)
 
 
+def spmm_ell(
+    a: EllMatrix, b: jax.Array, *, out_dtype=None, chunk: int = 16
+) -> jax.Array:
+    """ELL SpMM: scan over width chunks; each step is a row-gather of B
+    (runs at HBM gather bandwidth) and a dense fused multiply-accumulate.
+    No scatters anywhere — this is the TPU expression of Sputnik's
+    row-binned, vector-load SpMM loop.
+    """
+    out_dtype = out_dtype or a.dtype
+    rows, width = a.values.shape
+    n = b.shape[1]
+    if width == 0:
+        return jnp.zeros((rows, n), out_dtype)
+    pad_w = -(-width // chunk) * chunk
+    vals = jnp.pad(a.values, ((0, 0), (0, pad_w - width)))
+    cols = jnp.pad(a.indices, ((0, 0), (0, pad_w - width)))
+    # Padding values are zero already (format contract), so no mask needed.
+
+    def body(acc, wc):
+        v = jax.lax.dynamic_slice(vals, (0, wc * chunk), (rows, chunk))
+        c = jax.lax.dynamic_slice(cols, (0, wc * chunk), (rows, chunk))
+        g = jnp.take(b, c.reshape(-1), axis=0).reshape(rows, chunk, n)
+        acc = acc + jnp.einsum(
+            "rw,rwn->rn",
+            v.astype(jnp.float32),
+            g.astype(jnp.float32),
+        )
+        return acc, None
+
+    init = jnp.zeros((rows, n), jnp.float32)
+    acc, _ = jax.lax.scan(body, init, jnp.arange(pad_w // chunk))
+    return acc.astype(out_dtype)
+
+
 def sddmm(
     a: jax.Array,
     b: jax.Array,
-    topology: CsrMatrix,
+    topology: CsrMatrix | EllMatrix,
     *,
     transpose_b: bool = True,
     out_dtype=None,
-) -> CsrMatrix:
+):
     """values[e] = A[row[e], :] . op(B)[:, col[e]]   (upstream ``CudaSddmm``).
 
     The attention-score shape: with ``transpose_b=True`` (the Sputnik
-    default) this is rows of A dotted with rows of B.
+    default) this is rows of A dotted with rows of B. ELL topologies take
+    the row-gather fast path and return an EllMatrix.
     """
     out_dtype = out_dtype or topology.dtype
     if not transpose_b:
         b = b.T  # normalize to (N, K) rows
+    if isinstance(topology, EllMatrix):
+        return sddmm_ell(a, b, topology, out_dtype=out_dtype)
     if topology.nnz == 0:
         return topology.with_values(jnp.zeros((0,), out_dtype))
     lhs = jnp.take(a, topology.row_indices, axis=0).astype(jnp.float32)
@@ -82,7 +132,49 @@ def sddmm(
     return topology.with_values(vals.astype(out_dtype))
 
 
-def sparse_softmax(a: CsrMatrix, *, scale: float | None = None) -> CsrMatrix:
+def sddmm_ell(
+    a: jax.Array,
+    b: jax.Array,
+    topology: EllMatrix,
+    *,
+    out_dtype=None,
+    chunk: int = 16,
+) -> EllMatrix:
+    """ELL SDDMM: values[r, w] = A[r] . B[cols[r, w]]; masked at padding."""
+    out_dtype = out_dtype or topology.dtype
+    rows, width = topology.indices.shape
+    k = a.shape[1]
+    pad_w = -(-width // chunk) * chunk
+    cols = jnp.pad(topology.indices, ((0, 0), (0, pad_w - width)))
+    a32 = a.astype(jnp.float32)
+
+    def body(_, wc):
+        c = jax.lax.dynamic_slice(cols, (0, wc * chunk), (rows, chunk))
+        g = jnp.take(b, c.reshape(-1), axis=0).reshape(rows, chunk, k)
+        vals = jnp.einsum("rk,rwk->rw", a32, g.astype(jnp.float32))
+        return None, vals
+
+    _, vals = jax.lax.scan(body, None, jnp.arange(pad_w // chunk))
+    vals = jnp.transpose(vals, (1, 0, 2)).reshape(rows, pad_w)[:, :width]
+    vals = jnp.where(topology.valid_mask(), vals, 0)
+    return topology.with_values(vals.astype(out_dtype))
+
+
+def sparse_softmax_ell(a: EllMatrix, *, scale: float | None = None) -> EllMatrix:
+    """Row softmax over the valid slots — pure dense VPU math (masked)."""
+    v = a.values.astype(jnp.float32)
+    if scale is not None:
+        v = v * scale
+    mask = a.valid_mask()
+    v = jnp.where(mask, v, -jnp.inf)
+    m = jnp.max(v, axis=1, keepdims=True)
+    m = jnp.maximum(m, -jnp.finfo(jnp.float32).max)
+    e = jnp.where(mask, jnp.exp(v - m), 0.0)
+    s = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-30)
+    return a.with_values((e / s).astype(a.dtype))
+
+
+def sparse_softmax(a: CsrMatrix | EllMatrix, *, scale: float | None = None):
     """Row-wise softmax over the nonzero values (upstream ``SparseSoftmax``).
 
     Numerically stable: per-row max subtraction via segment_max. Rows with
@@ -91,6 +183,8 @@ def sparse_softmax(a: CsrMatrix, *, scale: float | None = None) -> CsrMatrix:
     — callers who pad topologies should mask afterwards; the reference has
     the same caveat).
     """
+    if isinstance(a, EllMatrix):
+        return sparse_softmax_ell(a, scale=scale)
     if a.nnz == 0:
         return a
     v = a.values.astype(jnp.float32)

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from sputnik_tpu.formats import BlockSparseMatrix
-from sputnik_tpu.kernels import bsr_dsd, bsr_dsd_pipelined, bsr_sdd, bsr_ssd, bsr_dss, reference
+from sputnik_tpu.kernels import bsr_dsd, bsr_dsd_pipelined, bsr_sdd, bsr_ssd, bsr_dss, reference, via_dense
 from sputnik_tpu.ops import registry
 
 __all__ = [
@@ -181,6 +181,17 @@ def _ssd_can(a, b, topology, transpose_a=False, transpose_b=False, out_dtype=Non
     )
 
 
+def _ssd_dense_detour_can(a, b, topology, transpose_a=False, transpose_b=False, out_dtype=None, **kw):
+    n_dim = b.shape[0] if transpose_b else b.shape[1]
+    return (
+        _dsd_can(a, b, transpose_a=transpose_a, transpose_b=transpose_b, out_dtype=out_dtype)
+        and topology.density >= via_dense.DENSITY_THRESHOLD
+    )
+
+
+# At moderate density the at-SoL DSD + block extract beats the direct
+# (128,128)-tile output-stationary kernel by ~2-5x (docs/PERFORMANCE.md).
+registry.register("ssd", "pallas_dsd_extract", _ssd_dense_detour_can, via_dense.ssd)
 registry.register("ssd", "pallas_output_stationary", _ssd_can, bsr_ssd.ssd)
 registry.register("ssd", "jnp_fallback", lambda *a, **k: True, reference.ssd)
 
@@ -223,6 +234,14 @@ def _sds_can(a, b, topology, transpose_a=False, transpose_b=False, out_dtype=Non
     )
 
 
+def _sds_dense_detour_can(a, b, topology, transpose_a=False, transpose_b=False, out_dtype=None, **kw):
+    return (
+        _dds_can(a, b, transpose_a=transpose_a, transpose_b=transpose_b, out_dtype=out_dtype)
+        and topology.density >= via_dense.DENSITY_THRESHOLD
+    )
+
+
+registry.register("sds", "pallas_dds_extract", _sds_dense_detour_can, via_dense.sds)
 registry.register("sds", "pallas_output_stationary", _sds_can, bsr_ssd.sds)
 registry.register("sds", "jnp_fallback", lambda *a, **k: True, reference.sds)
 
@@ -265,6 +284,15 @@ def _dss_can(a, b, transpose_a=False, transpose_b=False, out_dtype=None, **kw):
     )
 
 
+def _dss_densify_can(a, b, transpose_a=False, transpose_b=False, out_dtype=None, **kw):
+    denser = a if a.nnz <= b.nnz else b
+    return (
+        _dss_can(a, b, transpose_a=transpose_a, transpose_b=transpose_b, out_dtype=out_dtype)
+        and denser.density >= via_dense.DENSITY_THRESHOLD
+    )
+
+
+registry.register("dss", "pallas_densify_stream", _dss_densify_can, via_dense.dss)
 registry.register("dss", "pallas_masked_stream", _dss_can, bsr_dss.dss)
 registry.register("dss", "jnp_fallback", lambda *a, **k: True, reference.dss)
 

@@ -11,9 +11,14 @@ configurations slot in as additional variants.
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Callable, Dict, List
 
 __all__ = ["KernelVariant", "register", "dispatch", "variants_for"]
+
+# The reference's SPUTNIK_LOG (logging.h:34-43); enable with
+# logging.getLogger("sputnik_tpu").setLevel(logging.DEBUG).
+log = logging.getLogger("sputnik_tpu")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -49,6 +54,13 @@ def dispatch(op: str, *args, variant: str | None = None, **kwargs):
         raise ValueError(f"{op}: no variant named {variant!r}")
     for v in variants:
         if v.can_implement(*args, **kwargs):
+            if log.isEnabledFor(logging.DEBUG):
+                log.debug(
+                    "%s: dispatching %s (shapes=%s)",
+                    op,
+                    v.name,
+                    [getattr(a, "shape", None) for a in args],
+                )
             return v.launch(*args, **kwargs)
     # Mirror the reference's FATAL-with-full-shape-dump behavior.
     shapes = [getattr(a, "shape", None) for a in args]

@@ -1,0 +1,107 @@
+"""Device-time measurement and tracing helpers.
+
+The reference times kernels with cudaEvents (``sputnik/timer.cu:17-32``) and
+a warmup+iterations protocol (``dsd_benchmark.cu:82-107``). On this stack
+the equivalent discipline is: chain ops inside ONE jitted executable (the
+axon TPU tunnel costs ~1-3 ms per dispatch, so wall-clock timing of single
+dispatches measures the network, not the chip) and read the executable's
+device duration from a ``jax.profiler`` trace.
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+import os
+import tempfile
+import time
+from typing import Callable, Optional
+
+import jax
+
+__all__ = ["device_time", "trace_device_total"]
+
+
+def trace_device_total(trace_dir: str, name_prefix: str = "jit_") -> Optional[float]:
+    """Total seconds of device events whose name starts with ``name_prefix``."""
+    files = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True)
+    if not files:
+        return None
+    with gzip.open(max(files, key=os.path.getmtime)) as f:
+        t = json.load(f)
+    pids = {}
+    for e in t.get("traceEvents", []):
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pids[e["pid"]] = e["args"].get("name", "")
+    total = 0.0
+    found = False
+    for e in t.get("traceEvents", []):
+        if e.get("ph") != "X" or "TPU" not in pids.get(e.get("pid"), ""):
+            continue
+        if e.get("name", "").startswith(name_prefix):
+            total += e.get("dur", 0) * 1e-6
+            found = True
+    return total if found else None
+
+
+def device_time(
+    op: Callable,
+    *args,
+    chain: int = 8,
+    runs: int = 3,
+    perturb_index: int = 0,
+) -> dict:
+    """Per-op device seconds for ``op(*args) -> array-or-pytree``.
+
+    Builds a jitted chain of ``chain`` dependent invocations (arg
+    ``perturb_index`` is nudged by a scalar derived from the previous output
+    so XLA cannot CSE the repeats), runs it ``runs`` times under a profiler
+    trace, and returns the top-level executable's device time divided by
+    ``chain``. Falls back to wall/chain when no trace is produced (CPU).
+    """
+    import jax.numpy as jnp
+
+    def _scalarize(out):
+        leaves = [l for l in jax.tree_util.tree_leaves(out) if hasattr(l, "dtype")]
+        acc = 0.0
+        for l in leaves:
+            acc = acc + l.reshape(-1)[0].astype(jnp.float32)
+        return acc
+
+    @jax.jit
+    def chained(*a):
+        a = list(a)
+        out = None
+        for _ in range(chain):
+            out = op(*a)
+            eps = _scalarize(out) * 1e-12
+            tgt = a[perturb_index]
+            a[perturb_index] = jax.tree_util.tree_map(
+                lambda x: (x + eps.astype(x.dtype))
+                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.inexact)
+                else x,
+                tgt,
+            )
+        return out
+
+    out = jax.block_until_ready(chained(*args))  # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        out = chained(*args)
+    jax.block_until_ready(out)
+    wall = (time.perf_counter() - t0) / (runs * chain)
+
+    trace_dir = tempfile.mkdtemp(prefix="sputnik_prof_")
+    try:
+        jax.profiler.start_trace(trace_dir)
+        for _ in range(runs):
+            out = chained(*args)
+        jax.block_until_ready(out)
+        jax.profiler.stop_trace()
+        total = trace_device_total(trace_dir, "jit_chained")
+    except Exception:
+        total = None
+    if total is not None:
+        return {"time_s": total / (runs * chain), "wall_s": wall, "timing": "device_trace"}
+    return {"time_s": wall, "wall_s": wall, "timing": "wall"}

@@ -182,3 +182,31 @@ def test_generic_matmul_dispatch(rng):
     out = ops.matmul(a, b)
     expected = testing.dense_oracle_matmul(np.asarray(a.to_dense()), np.asarray(b))
     _check(out, expected)
+
+
+@pytest.mark.parametrize("op", ["ssd", "sds", "dss"])
+def test_dense_detour_variants(rng, op):
+    """Default dispatch at moderate density selects the DSD/DDS-detour
+    variants; results must match the direct kernels' oracle."""
+    m = k = n = 512
+    a_s = _mk_sparse(rng, m, k, 0.5, False)
+    b_s = _mk_sparse(rng, k, n, 0.5, False)
+    a_d = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32))
+    b_d = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32))
+    topo = _mk_sparse(rng, m, n, 0.5, False)
+    if op == "ssd":
+        out = ops.matmul_ssd(a_s, b_d, topo)
+        full = testing.dense_oracle_matmul(np.asarray(a_s.to_dense()), np.asarray(b_d))
+        expected = np.asarray(reference.extract_blocks(jnp.asarray(full.astype(np.float32)), topo))
+        _check(out.data, expected)
+    elif op == "sds":
+        out = ops.matmul_sds(a_d, b_s, topo)
+        full = testing.dense_oracle_matmul(np.asarray(a_d), np.asarray(b_s.to_dense()))
+        expected = np.asarray(reference.extract_blocks(jnp.asarray(full.astype(np.float32)), topo))
+        _check(out.data, expected)
+    else:
+        out = ops.matmul_dss(a_s, b_s)
+        expected = testing.dense_oracle_matmul(
+            np.asarray(a_s.to_dense()), np.asarray(b_s.to_dense())
+        )
+        _check(out, expected)

@@ -89,3 +89,56 @@ def test_ell_round_trip(rng):
             if m[r, w]:
                 dense[r, c[r, w]] += v[r, w]
     np.testing.assert_allclose(dense, np.asarray(a.to_dense()), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# ELL fast paths
+# ---------------------------------------------------------------------------
+
+
+def test_ell_format_round_trip(rng):
+    from sputnik_tpu.formats import EllMatrix
+
+    m = testing.random_csr(rng, 96, 160, 1200)
+    e = EllMatrix.from_csr(m)
+    np.testing.assert_allclose(
+        np.asarray(e.to_dense()), np.asarray(m.to_dense()), atol=1e-6
+    )
+
+
+def test_spmm_ell_matches_csr(rng):
+    from sputnik_tpu.formats import EllMatrix
+
+    m = testing.random_csr(rng, 256, 512, int(256 * 512 * 0.1))
+    b = jnp.asarray(rng.standard_normal((512, 128)).astype(np.float32))
+    e = EllMatrix.from_csr(m)
+    out = csr_ops.spmm_ell(e, b)
+    exp = np.asarray(m.to_dense()) @ np.asarray(b)
+    np.testing.assert_allclose(np.asarray(out), exp, atol=ATOL)
+    # spmm() auto-converts concrete CSR to the ELL path: same result.
+    out2 = csr_ops.spmm(m, b)
+    np.testing.assert_allclose(np.asarray(out2), exp, atol=ATOL)
+
+
+def test_sddmm_ell(rng):
+    from sputnik_tpu.formats import EllMatrix
+
+    topo = testing.random_csr(rng, 256, 256, int(256 * 256 * 0.05))
+    e = EllMatrix.from_csr(topo)
+    a = jnp.asarray(rng.standard_normal((256, 64)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((256, 64)).astype(np.float32))
+    out = csr_ops.sddmm(a, b, e)
+    full = np.asarray(a) @ np.asarray(b).T
+    np.testing.assert_allclose(
+        np.asarray(out.to_dense()), full * (np.asarray(topo.to_dense()) != 0), atol=ATOL
+    )
+
+
+def test_sparse_softmax_ell(rng):
+    from sputnik_tpu.formats import EllMatrix
+
+    m = testing.random_csr(rng, 64, 256, 900)
+    e = EllMatrix.from_csr(m)
+    out = csr_ops.sparse_softmax(e)
+    exp = np.asarray(csr_ops.sparse_softmax(m).to_dense())
+    np.testing.assert_allclose(np.asarray(out.to_dense()), exp, atol=1e-5)

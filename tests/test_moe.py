@@ -76,3 +76,52 @@ def test_moe_train_step_decreases_loss(rng, cfg):
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
     assert np.isfinite(losses).all()
+
+
+def test_dropless_moe_matches_dense(rng):
+    cfg = models.MoEConfig(
+        d_model=128, d_ff=128, n_experts=4, capacity=128, dtype=jnp.float32
+    )
+    key = jax.random.PRNGKey(2)
+    params = models.init_moe_params(key, cfg)
+    x = jnp.asarray(rng.standard_normal((200, cfg.d_model)).astype(np.float32))
+
+    @jax.jit
+    def fwd(params, x):
+        return models.dropless_moe_forward(params, x, cfg)
+
+    y, aux = fwd(params, x)
+    # Dense per-token oracle WITHOUT capacity (dropless: nothing dropped).
+    logits = np.asarray(x) @ np.asarray(params["router"])
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs = probs / probs.sum(-1, keepdims=True)
+    expert = probs.argmax(-1)
+    prob = probs.max(-1)
+    w1 = np.asarray(params["w1"], np.float32)
+    w2 = np.asarray(params["w2"], np.float32)
+    exp = np.zeros((x.shape[0], cfg.d_model), np.float32)
+    for t in range(x.shape[0]):
+        e = expert[t]
+        w1_e = w1[:, e * cfg.d_ff : (e + 1) * cfg.d_ff]
+        w2_e = w2[e * cfg.d_ff : (e + 1) * cfg.d_ff, :]
+        h = np.asarray(jax.nn.gelu(np.asarray(x, np.float32)[t] @ w1_e))
+        exp[t] = (h @ w2_e) * prob[t]
+    np.testing.assert_allclose(np.asarray(y, np.float32), exp, atol=5e-2, rtol=5e-2)
+
+
+def test_dropless_moe_grads(rng):
+    cfg = models.MoEConfig(
+        d_model=128, d_ff=128, n_experts=2, capacity=128, dtype=jnp.float32
+    )
+    params = models.init_moe_params(jax.random.PRNGKey(3), cfg)
+    x = jnp.asarray(rng.standard_normal((150, cfg.d_model)).astype(np.float32))
+
+    @jax.jit
+    def loss(params, x):
+        y, aux = models.dropless_moe_forward(params, x, cfg)
+        return jnp.sum(y**2) * 1e-3 + 0.01 * aux
+
+    grads = jax.grad(loss)(params, x)
+    for k, g in grads.items():
+        assert np.isfinite(np.asarray(g)).all(), k
+    assert float(jnp.abs(grads["w1"]).max()) > 0
