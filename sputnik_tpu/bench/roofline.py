@@ -98,32 +98,34 @@ def audit(d: int = 2048, density: float = 0.25, dtype_name: str = "bfloat16",
         2 * topo.nnz_blocks * 128 * d * isz + topo.nnz * isz,
         perturb=0,
     )
-    # SSD: per output block, A row blocks + matching B panels (bs wide).
-    avg_row = max(a.nnz_blocks / a.block_rows, 1)
+    # SSD/SDS/DSS run their exact pre-planned work lists (the MatmulEx
+    # discipline: plan once outside jit, pass the schedule in). Cost model
+    # per work item: one sparse block + one (bs, bs) tile in, output once.
+    ssd_sched = ops.plan_ssd(a, topo)
+    sds_sched = ops.plan_sds(a, topo)
+    dss_sched = ops.plan_dss(a, topo)
     add(
         "bsr_ssd",
-        lambda a_, b_: ops.matmul_ssd(a_, b_, topo).data,
+        lambda a_, b_: ops.matmul_ssd(a_, b_, topo, schedule=ssd_sched).data,
         (a, b),
-        2 * topo.nnz_blocks * avg_row * 128**3,
-        topo.nnz_blocks * avg_row * (128 * 128 * 2 * isz) + topo.nnz * isz,
+        2 * ssd_sched.total * 128**3,
+        ssd_sched.total * (2 * 128 * 128 * isz) + topo.nnz * isz,
         perturb=1,
     )
     add(
         "bsr_sds",
-        lambda b_, m_: ops.matmul_sds(b_, m_, topo).data,
+        lambda b_, m_: ops.matmul_sds(b_, m_, topo, schedule=sds_sched).data,
         (b, a),
-        2 * topo.nnz_blocks * avg_row * 128**3,
-        topo.nnz_blocks * avg_row * (128 * 128 * 2 * isz) + topo.nnz * isz,
+        2 * sds_sched.total * 128**3,
+        sds_sched.total * (2 * 128 * 128 * isz) + topo.nnz * isz,
         perturb=0,
     )
-    # DSS: m_blocks * n_blocks tiles x avg A-row steps (masked B hits).
-    mb = d // 128
     add(
         "bsr_dss",
-        lambda a_, b_: ops.matmul_dss(a_, b_),
+        lambda a_, b_: ops.matmul_dss(a_, b_, schedule=dss_sched),
         (a, topo),
-        int(2 * mb * mb * avg_row * 128**3 * density),
-        int(mb * mb * avg_row * (128 * 128 * 2 * isz)) + d * d * isz,
+        2 * dss_sched.total * 128**3,
+        dss_sched.total * (2 * 128 * 128 * isz) + d * d * isz,
         perturb=0,
     )
     add(

@@ -86,6 +86,7 @@ def dss(
     out_dtype=None,
     max_steps: int | None = None,
     interpret: bool | None = None,
+    **_,
 ) -> jax.Array:
     """C[M, N] = op(A_sparse) @ op(B_sparse).
 

@@ -1,0 +1,478 @@
+"""Exact work-list ("flat schedule") Pallas kernels for SSD / SDS / DSS.
+
+The direct output-stationary kernels (``bsr_ssd.py``, ``bsr_dss.py``) bound
+their per-output-tile trip count by the *worst* row extent and mask the
+excess steps — correct, but at uneven sparsity a large fraction of grid
+steps fetch tiles only to multiply them by zero. The reference has the same
+structural problem and solves it with data-dependent trip counts read from
+metadata inside the kernel (``block_gemm.h:129-192`` ``StepsK()``,
+``index_merge.h:163-169`` popcount); XLA's static grids rule that out.
+
+The TPU-native answer: precompute the EXACT flattened work list once, at
+plan time, on the host —
+
+    work item j  =  (output block, sparse operand block, dense/k tile)
+
+ordered by output block — and run the proven DSD-style stream kernel over a
+1-D grid of exactly ``total_work`` steps: accumulator carries partial sums
+across consecutive items of one output block and flushes on the last. Zero
+wasted steps, any sparsity profile.
+
+This is the analogue of the reference's ``MatmulEx`` / pre-built-metadata
+discipline (``block/dsd/dsd.cu:20-27``: build buffers once, skip on the hot
+path) — and of its DSS "TODO: cache" bitmask wart
+(``dss_*_tn_align8.cu:99-110``), fixed by construction: the intersection is
+merged once per topology pair instead of per call per threadblock.
+
+Plan with :func:`plan_sparse_out` / :func:`plan_dss` OUTSIDE jit (metadata
+must be concrete; inside jit the arrays are tracers and there is no static
+work count — the masked-step kernels remain the fallback there). The
+returned :class:`FlatSchedule` is a pytree: pass it through jit boundaries
+freely; only its shapes must stay fixed, its contents may be device arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sputnik_tpu.formats import BlockSparseMatrix
+from sputnik_tpu.kernels.common import compiler_params, dot_dims, use_interpret
+
+__all__ = [
+    "FlatSchedule",
+    "plan_sparse_out",
+    "plan_dss",
+    "ssd_flat",
+    "sds_flat",
+    "dss_flat",
+]
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["out_ids", "dep_ids", "data_ids", "other_ids"],
+    meta_fields=["kind", "total", "all_visited", "visited_key"],
+)
+@dataclasses.dataclass(frozen=True)
+class FlatSchedule:
+    """Flattened matmul work list (pytree; shapes static, contents arrays).
+
+    ``out_ids`` is non-decreasing (items of one output block are
+    consecutive); ``data_ids`` index the sparse stream operand's physical
+    blocks; ``dep_ids`` are contraction-dimension block ids; ``other_ids``
+    carry the output block's other coordinate (SSD/SDS) or the second
+    operand's physical block (DSS). ``visited_key`` records which output
+    blocks received no work (they are zeroed after the kernel); it is a
+    static tuple so the schedule stays hashable jit-side.
+    """
+
+    out_ids: jax.Array  # (total,) int32, non-decreasing
+    dep_ids: jax.Array  # (total,) int32
+    data_ids: jax.Array  # (total,) int32
+    other_ids: jax.Array  # (total,) int32
+    kind: str  # "ssd" | "sds" | "dss"
+    total: int
+    all_visited: bool
+    visited_key: Optional[Tuple[int, ...]]  # unvisited output-block ids
+
+
+def _np(x, what: str) -> np.ndarray:
+    if isinstance(x, jax.core.Tracer):
+        raise ValueError(
+            f"flat-schedule planning needs concrete {what}; call plan_* "
+            "outside jit (the masked-step kernels handle traced metadata)"
+        )
+    return np.asarray(x)
+
+
+def _stream_np(stream: BlockSparseMatrix, transposed: bool):
+    """(offsets, dep, data) of the stream operand in group-major order, np."""
+    if transposed:
+        m = stream.with_transpose_metadata()
+        offs = _np(m.offsets_t, "transpose metadata")
+        data = _np(m.block_offsets, "transpose metadata")
+        dep = _np(m.indices_t, "transpose metadata")
+    else:
+        offs = _np(stream.offsets, "offsets")
+        dep = _np(stream.indices, "indices")
+        data = np.arange(stream.nnz_blocks, dtype=np.int32)
+    return offs, dep.astype(np.int32), data.astype(np.int32)
+
+
+def _ragged_positions(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Concatenate [starts[i], starts[i]+counts[i]) ranges (vectorized)."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros((0,), np.int32)
+    cum = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    return (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(cum, counts)
+        + np.repeat(starts.astype(np.int64), counts)
+    ).astype(np.int32)
+
+
+def plan_sparse_out(
+    stream: BlockSparseMatrix,
+    topology: BlockSparseMatrix,
+    *,
+    kind: str,  # "ssd" (stream = A, grouped by out row) | "sds" (stream = B)
+    stream_transposed: bool,
+) -> FlatSchedule:
+    """Exact schedule for a sparse-output matmul with one sparse operand.
+
+    For each output block (in topology order) enumerate the stream
+    operand's blocks in that output block's group (row for SSD, column for
+    SDS) — the host-side equivalent of the reference kernel's per-tile
+    ``offsets[m], offsets[m+1]`` reads (``block_gemm.h:129-137``).
+    """
+    offs, dep, data = _stream_np(stream, stream_transposed)
+    if kind == "ssd":
+        group_of = _np(topology.row_indices, "topology.row_indices")
+        other_of = _np(topology.indices, "topology.indices")
+    elif kind == "sds":
+        group_of = _np(topology.indices, "topology.indices")
+        other_of = _np(topology.row_indices, "topology.row_indices")
+    else:
+        raise ValueError(f"kind must be 'ssd' or 'sds', got {kind!r}")
+
+    counts = (offs[1:] - offs[:-1])[group_of]
+    total = int(counts.sum())
+    out_ids = np.repeat(np.arange(len(group_of), dtype=np.int32), counts)
+    pos = _ragged_positions(offs[group_of], counts)
+    unvisited = tuple(int(i) for i in np.nonzero(counts == 0)[0])
+    return FlatSchedule(
+        out_ids=jnp.asarray(out_ids),
+        dep_ids=jnp.asarray(dep[pos]),
+        data_ids=jnp.asarray(data[pos]),
+        other_ids=jnp.asarray(other_of[out_ids].astype(np.int32)),
+        kind=kind,
+        total=total,
+        all_visited=not unvisited,
+        visited_key=unvisited or None,
+    )
+
+
+def plan_dss(
+    a: BlockSparseMatrix,
+    b: BlockSparseMatrix,
+    *,
+    transpose_a: bool = False,
+    transpose_b: bool = False,
+) -> FlatSchedule:
+    """Exact intersection schedule for dense = sparse @ sparse.
+
+    The host-side replacement for the reference's in-kernel ``IndexMerge``
+    (bitmask AND + popcount-ranked smem scatter, ``index_merge.h:90-227``):
+    for every output tile (m, n), the work items are the k-blocks present in
+    BOTH op(A) row m and op(B) column n. Merged once per operand pair; the
+    reference rebuilds its bitmasks every call ("TODO: cache").
+    No k <= 32768 limit (int32 ids vs the reference's uint8 smem offsets).
+    """
+    a_offs, a_dep, a_data = _stream_np(a, transpose_a)
+    # op(B) iterated k-major: natural order when B is (K, N), transposed
+    # metadata when op(B) = B^T (mirrors dss_test.cu:215-218's buffer rule).
+    b_offs, b_dep, b_data = _stream_np(b, transpose_b)
+
+    n_blocks = (b.rows if transpose_b else b.cols) // b.block_size
+    m_blocks = len(a_offs) - 1
+    outs, aposs, bposs = [], [], []
+    for m in range(m_blocks):
+        ks = a_dep[a_offs[m] : a_offs[m + 1]]
+        apos_m = a_data[a_offs[m] : a_offs[m + 1]]
+        bcounts = b_offs[ks + 1] - b_offs[ks]
+        if bcounts.sum() == 0:
+            continue
+        pos = _ragged_positions(b_offs[ks], bcounts)
+        ns = b_dep[pos]
+        order = np.argsort(ns, kind="stable")
+        outs.append(m * n_blocks + ns[order])
+        aposs.append(np.repeat(apos_m, bcounts)[order])
+        bposs.append(b_data[pos][order])
+
+    if outs:
+        out_ids = np.concatenate(outs).astype(np.int32)
+        a_ids = np.concatenate(aposs).astype(np.int32)
+        b_ids = np.concatenate(bposs).astype(np.int32)
+    else:
+        out_ids = a_ids = b_ids = np.zeros((0,), np.int32)
+    n_tiles = m_blocks * n_blocks
+    visited = np.zeros((n_tiles,), bool)
+    visited[out_ids] = True
+    unvisited = tuple(int(i) for i in np.nonzero(~visited)[0])
+    return FlatSchedule(
+        out_ids=jnp.asarray(out_ids),
+        dep_ids=jnp.asarray(b_ids),  # second operand's physical block
+        data_ids=jnp.asarray(a_ids),
+        other_ids=jnp.asarray(np.zeros_like(out_ids)),
+        kind="dss",
+        total=int(out_ids.shape[0]),
+        all_visited=not unvisited,
+        visited_key=unvisited or None,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+
+def _flat_kernel(
+    out_ids,  # scalar prefetch (total,)
+    dep_ids,
+    data_ids,
+    other_ids,
+    block_ref,  # (1, bs, bs) stream operand block
+    panel_ref,  # (bs, bs) dense tile [ssd/sds] or (1, bs, bs) sparse block [dss]
+    out_ref,
+    acc_ref,  # (bs, bs) fp32
+    *,
+    total: int,
+    dims,
+    block_first: bool,
+    panel_is_block: bool,
+    out_is_block: bool,
+):
+    del dep_ids, data_ids, other_ids
+    j = pl.program_id(0)
+    cur = out_ids[j]
+    prev = out_ids[jnp.maximum(j - 1, 0)]
+    nxt = out_ids[jnp.minimum(j + 1, total - 1)]
+    is_first = jnp.logical_or(j == 0, prev != cur)
+    is_last = jnp.logical_or(j == total - 1, nxt != cur)
+
+    @pl.when(is_first)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    block = block_ref[0]
+    panel = panel_ref[0] if panel_is_block else panel_ref[:]
+    lhs, rhs = (block, panel) if block_first else (panel, block)
+    acc_ref[:] += jax.lax.dot_general(
+        lhs, rhs, dims, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(is_last)
+    def _():
+        if out_is_block:
+            out_ref[0] = acc_ref[:].astype(out_ref.dtype)
+        else:
+            out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _zero_unvisited_blocks(data, schedule: FlatSchedule):
+    if schedule.all_visited:
+        return data
+    return data.at[jnp.asarray(schedule.visited_key, dtype=jnp.int32)].set(0)
+
+
+def _flat_sparse_out_call(
+    *,
+    schedule: FlatSchedule,
+    stream_data,
+    panel,
+    panel_index,  # (k, other) -> dense block index tuple
+    topology: BlockSparseMatrix,
+    dims,
+    block_first: bool,
+    out_dtype,
+    interpret: bool,
+):
+    bs = topology.block_size
+    nnz_c = topology.nnz_blocks
+    if nnz_c == 0 or schedule.total == 0:
+        return topology.with_data(jnp.zeros((nnz_c, bs, bs), out_dtype))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(schedule.total,),
+        in_specs=[
+            pl.BlockSpec((1, bs, bs), lambda j, out, dep, dat, oth: (dat[j], 0, 0)),
+            pl.BlockSpec(
+                (bs, bs),
+                lambda j, out, dep, dat, oth: panel_index(dep[j], oth[j]),
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, bs, bs), lambda j, out, dep, dat, oth: (out[j], 0, 0)),
+        scratch_shapes=[pltpu.VMEM((bs, bs), jnp.float32)],
+    )
+    data = pl.pallas_call(
+        functools.partial(
+            _flat_kernel,
+            total=schedule.total,
+            dims=dims,
+            block_first=block_first,
+            panel_is_block=False,
+            out_is_block=True,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nnz_c, bs, bs), out_dtype),
+        compiler_params=compiler_params(("arbitrary",)),
+        interpret=interpret,
+    )(
+        schedule.out_ids,
+        schedule.dep_ids,
+        schedule.data_ids,
+        schedule.other_ids,
+        stream_data,
+        panel,
+    )
+    return topology.with_data(_zero_unvisited_blocks(data, schedule))
+
+
+def ssd_flat(
+    a: BlockSparseMatrix,
+    b: jax.Array,
+    topology: BlockSparseMatrix,
+    *,
+    transpose_a: bool = False,
+    transpose_b: bool = False,
+    out_dtype=None,
+    schedule: FlatSchedule | None = None,
+    interpret: bool | None = None,
+    **_,
+) -> BlockSparseMatrix:
+    """C_sparse = op(A_sparse) @ op(B_dense) via an exact work list."""
+    interpret = use_interpret() if interpret is None else interpret
+    out_dtype = out_dtype or topology.dtype
+    if schedule is None:
+        schedule = plan_sparse_out(
+            a, topology, kind="ssd", stream_transposed=transpose_a
+        )
+    if schedule.kind != "ssd":
+        raise ValueError(f"schedule kind {schedule.kind!r} != 'ssd'")
+    if transpose_b:  # B stored (N, K)
+        panel_index = lambda k, other: (other, k)
+    else:  # B stored (K, N)
+        panel_index = lambda k, other: (k, other)
+    return _flat_sparse_out_call(
+        schedule=schedule,
+        stream_data=a.data,
+        panel=b,
+        panel_index=panel_index,
+        topology=topology,
+        dims=dot_dims(transpose_a, transpose_b),
+        block_first=True,
+        out_dtype=out_dtype,
+        interpret=interpret,
+    )
+
+
+def sds_flat(
+    a: jax.Array,
+    b: BlockSparseMatrix,
+    topology: BlockSparseMatrix,
+    *,
+    transpose_a: bool = False,
+    transpose_b: bool = False,
+    out_dtype=None,
+    schedule: FlatSchedule | None = None,
+    interpret: bool | None = None,
+    **_,
+) -> BlockSparseMatrix:
+    """C_sparse = op(A_dense) @ op(B_sparse) via an exact work list."""
+    interpret = use_interpret() if interpret is None else interpret
+    out_dtype = out_dtype or topology.dtype
+    if schedule is None:
+        # B streams grouped by op(B) column = output column; non-transposed
+        # B therefore iterates through its transpose metadata.
+        schedule = plan_sparse_out(
+            b, topology, kind="sds", stream_transposed=not transpose_b
+        )
+    if schedule.kind != "sds":
+        raise ValueError(f"schedule kind {schedule.kind!r} != 'sds'")
+    if transpose_a:  # A stored (K, M)
+        panel_index = lambda k, other: (k, other)
+    else:  # A stored (M, K)
+        panel_index = lambda k, other: (other, k)
+    return _flat_sparse_out_call(
+        schedule=schedule,
+        stream_data=b.data,
+        panel=a,
+        panel_index=panel_index,
+        topology=topology,
+        dims=dot_dims(transpose_a, transpose_b),
+        block_first=False,
+        out_dtype=out_dtype,
+        interpret=interpret,
+    )
+
+
+def dss_flat(
+    a: BlockSparseMatrix,
+    b: BlockSparseMatrix,
+    *,
+    transpose_a: bool = False,
+    transpose_b: bool = False,
+    out_dtype=None,
+    schedule: FlatSchedule | None = None,
+    interpret: bool | None = None,
+    **_,
+) -> jax.Array:
+    """C[M, N] = op(A_sparse) @ op(B_sparse) via the exact merged work list."""
+    interpret = use_interpret() if interpret is None else interpret
+    out_dtype = out_dtype or a.dtype
+    bs = a.block_size
+    if b.block_size != bs:
+        raise ValueError(f"block size mismatch: {bs} vs {b.block_size}")
+    m_dim = a.cols if transpose_a else a.rows
+    n_dim = b.rows if transpose_b else b.cols
+    if schedule is None:
+        schedule = plan_dss(a, b, transpose_a=transpose_a, transpose_b=transpose_b)
+    if schedule.kind != "dss":
+        raise ValueError(f"schedule kind {schedule.kind!r} != 'dss'")
+
+    n_blocks = n_dim // bs
+    m_blocks = m_dim // bs
+    if schedule.total == 0:
+        return jnp.zeros((m_dim, n_dim), out_dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(schedule.total,),
+        in_specs=[
+            pl.BlockSpec((1, bs, bs), lambda j, out, dep, dat, oth: (dat[j], 0, 0)),
+            pl.BlockSpec((1, bs, bs), lambda j, out, dep, dat, oth: (dep[j], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (bs, bs),
+            lambda j, out, dep, dat, oth: (out[j] // n_blocks, out[j] % n_blocks),
+        ),
+        scratch_shapes=[pltpu.VMEM((bs, bs), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _flat_kernel,
+            total=schedule.total,
+            dims=dot_dims(transpose_a, transpose_b),
+            block_first=True,
+            panel_is_block=True,
+            out_is_block=False,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m_dim, n_dim), out_dtype),
+        compiler_params=compiler_params(("arbitrary",)),
+        interpret=interpret,
+    )(
+        schedule.out_ids,
+        schedule.dep_ids,
+        schedule.data_ids,
+        schedule.other_ids,
+        a.data,
+        b.data,
+    )
+    if not schedule.all_visited:
+        mask = np.ones((m_blocks, n_blocks), bool)
+        uv = np.asarray(schedule.visited_key)
+        mask[uv // n_blocks, uv % n_blocks] = False
+        mask = jnp.asarray(np.repeat(np.repeat(mask, bs, 0), bs, 1))
+        out = jnp.where(mask, out, jnp.zeros([], out_dtype))
+    return out

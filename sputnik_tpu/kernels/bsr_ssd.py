@@ -152,6 +152,7 @@ def ssd(
     out_dtype=None,
     max_steps: int | None = None,
     interpret: bool | None = None,
+    **_,
 ) -> BlockSparseMatrix:
     """C_sparse = op(A_sparse) @ op(B_dense), masked to ``topology``.
 
@@ -200,6 +201,7 @@ def sds(
     out_dtype=None,
     max_steps: int | None = None,
     interpret: bool | None = None,
+    **_,
 ) -> BlockSparseMatrix:
     """C_sparse = op(A_dense) @ op(B_sparse), masked to ``topology``.
 

@@ -24,7 +24,7 @@ __all__ = ["ssd", "sds", "dss", "DENSITY_THRESHOLD"]
 DENSITY_THRESHOLD = 1 / 16
 
 
-def ssd(a, b, topology, *, transpose_a=False, transpose_b=False, out_dtype=None, **kw):
+def ssd(a, b, topology, *, transpose_a=False, transpose_b=False, out_dtype=None, schedule=None, **kw):
     out_dtype = out_dtype or topology.dtype
     full = bsr_dsd.dsd(
         a, b, transpose_a=transpose_a, transpose_b=transpose_b,
@@ -33,7 +33,7 @@ def ssd(a, b, topology, *, transpose_a=False, transpose_b=False, out_dtype=None,
     return topology.with_data(extract_blocks(full, topology))
 
 
-def sds(a, b, topology, *, transpose_a=False, transpose_b=False, out_dtype=None, **kw):
+def sds(a, b, topology, *, transpose_a=False, transpose_b=False, out_dtype=None, schedule=None, **kw):
     out_dtype = out_dtype or topology.dtype
     full = bsr_dsd.dds(
         a, b, transpose_a=transpose_a, transpose_b=transpose_b,
@@ -43,7 +43,7 @@ def sds(a, b, topology, *, transpose_a=False, transpose_b=False, out_dtype=None,
 
 
 def dss(a: BlockSparseMatrix, b: BlockSparseMatrix, *, transpose_a=False,
-        transpose_b=False, out_dtype=None, **kw):
+        transpose_b=False, out_dtype=None, schedule=None, **kw):
     out_dtype = out_dtype or a.dtype
     # Densify the side with fewer bytes; keep the other sparse in the
     # at-SoL stream kernel.

@@ -9,6 +9,10 @@ from sputnik_tpu.ops.matmul import (
     matmul_ssd,
     matmul_sds,
     matmul_dss,
+    FlatSchedule,
+    plan_ssd,
+    plan_sds,
+    plan_dss,
 )
 from sputnik_tpu.ops import registry
 from sputnik_tpu.ops.autodiff import make_differentiable, grad, value_and_grad
@@ -61,6 +65,10 @@ __all__ = [
     "ssd",
     "sds",
     "dss",
+    "FlatSchedule",
+    "plan_ssd",
+    "plan_sds",
+    "plan_dss",
     "registry",
     "grad",
     "value_and_grad",

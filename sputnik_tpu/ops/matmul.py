@@ -15,7 +15,21 @@ import jax
 import jax.numpy as jnp
 
 from sputnik_tpu.formats import BlockSparseMatrix
-from sputnik_tpu.kernels import bsr_dsd, bsr_dsd_pipelined, bsr_sdd, bsr_ssd, bsr_dss, reference, via_dense
+from sputnik_tpu.kernels import (
+    bsr_dsd,
+    bsr_dsd_pipelined,
+    bsr_flat,
+    bsr_sdd,
+    bsr_ssd,
+    bsr_dss,
+    reference,
+    via_dense,
+)
+from sputnik_tpu.kernels.bsr_flat import (  # re-exported planning API
+    FlatSchedule,
+    plan_dss,
+    plan_sparse_out,
+)
 from sputnik_tpu.ops import registry
 
 __all__ = [
@@ -26,7 +40,26 @@ __all__ = [
     "matmul_sds",
     "matmul_dss",
     "matmul",
+    "FlatSchedule",
+    "plan_ssd",
+    "plan_sds",
+    "plan_dss",
 ]
+
+
+def plan_ssd(a: BlockSparseMatrix, topology: BlockSparseMatrix, *, transpose_a: bool = False) -> FlatSchedule:
+    """Precompute the exact SSD work list (call outside jit; pass the result
+    to ``matmul_ssd(..., schedule=)`` — the ``MatmulEx`` discipline)."""
+    return plan_sparse_out(a, topology, kind="ssd", stream_transposed=transpose_a)
+
+
+def plan_sds(b: BlockSparseMatrix, topology: BlockSparseMatrix, *, transpose_b: bool = False) -> FlatSchedule:
+    """Precompute the exact SDS work list (call outside jit)."""
+    return plan_sparse_out(b, topology, kind="sds", stream_transposed=not transpose_b)
+
+
+def _concrete(*arrays) -> bool:
+    return not any(isinstance(x, jax.core.Tracer) for x in arrays if x is not None)
 
 _PALLAS_DTYPES = (jnp.bfloat16, jnp.float32)
 
@@ -189,8 +222,27 @@ def _ssd_dense_detour_can(a, b, topology, transpose_a=False, transpose_b=False, 
     )
 
 
-# At moderate density the at-SoL DSD + block extract beats the direct
-# (128,128)-tile output-stationary kernel by ~2-5x (docs/PERFORMANCE.md).
+def _ssd_flat_can(a, b, topology, transpose_a=False, transpose_b=False,
+                  out_dtype=None, schedule=None, **kw):
+    if not _ssd_can(a, b, topology, transpose_a=transpose_a,
+                    transpose_b=transpose_b, out_dtype=out_dtype):
+        return False
+    if schedule is not None:
+        return True
+    # Eager + concrete metadata: plan on the fly when the exact work list
+    # beats both the extract detour and the masked-step kernel (measured
+    # crossover vs the extract detour is ~25% topology density on v5e).
+    return (
+        topology.density < 0.25
+        and _concrete(a.offsets, a.indices, topology.row_indices, topology.indices)
+    )
+
+
+# First fit order: explicit schedule -> exact flat work list; else at
+# moderate density the at-SoL DSD + block extract beats the direct
+# (128,128)-tile output-stationary kernels ~2-5x (docs/PERFORMANCE.md);
+# the masked-step kernel keeps the traced-metadata extreme-sparsity regime.
+registry.register("ssd", "pallas_flat_schedule", _ssd_flat_can, bsr_flat.ssd_flat)
 registry.register("ssd", "pallas_dsd_extract", _ssd_dense_detour_can, via_dense.ssd)
 registry.register("ssd", "pallas_output_stationary", _ssd_can, bsr_ssd.ssd)
 registry.register("ssd", "jnp_fallback", lambda *a, **k: True, reference.ssd)
@@ -241,6 +293,20 @@ def _sds_dense_detour_can(a, b, topology, transpose_a=False, transpose_b=False, 
     )
 
 
+def _sds_flat_can(a, b, topology, transpose_a=False, transpose_b=False,
+                  out_dtype=None, schedule=None, **kw):
+    if not _sds_can(a, b, topology, transpose_a=transpose_a,
+                    transpose_b=transpose_b, out_dtype=out_dtype):
+        return False
+    if schedule is not None:
+        return True
+    return (
+        topology.density < 0.25
+        and _concrete(b.offsets, b.indices, topology.row_indices, topology.indices)
+    )
+
+
+registry.register("sds", "pallas_flat_schedule", _sds_flat_can, bsr_flat.sds_flat)
 registry.register("sds", "pallas_dds_extract", _sds_dense_detour_can, via_dense.sds)
 registry.register("sds", "pallas_output_stationary", _sds_can, bsr_ssd.sds)
 registry.register("sds", "jnp_fallback", lambda *a, **k: True, reference.sds)
@@ -292,6 +358,22 @@ def _dss_densify_can(a, b, transpose_a=False, transpose_b=False, out_dtype=None,
     )
 
 
+def _dss_flat_can(a, b, transpose_a=False, transpose_b=False, out_dtype=None,
+                  schedule=None, **kw):
+    if not _dss_can(a, b, transpose_a=transpose_a, transpose_b=transpose_b,
+                    out_dtype=out_dtype):
+        return False
+    if schedule is not None:
+        return True
+    # Work items scale with density_a * density_b; measured crossover vs
+    # the densify detour on v5e sits near a 0.1 product (~32% per side).
+    return (
+        a.density * b.density < 0.1
+        and _concrete(a.offsets, a.indices, b.offsets, b.indices)
+    )
+
+
+registry.register("dss", "pallas_flat_schedule", _dss_flat_can, bsr_flat.dss_flat)
 registry.register("dss", "pallas_densify_stream", _dss_densify_can, via_dense.dss)
 registry.register("dss", "pallas_masked_stream", _dss_can, bsr_dss.dss)
 registry.register("dss", "jnp_fallback", lambda *a, **k: True, reference.dss)

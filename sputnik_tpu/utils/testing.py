@@ -32,6 +32,7 @@ __all__ = [
     "perfect_uniform_csr",
     "random_bsr",
     "random_bsr_topology",
+    "bsr_from_blocks",
     "dense_oracle_matmul",
     "ATOL",
 ]
@@ -177,6 +178,33 @@ def random_bsr(
         jnp.asarray(data, dtype=dtype),
         jnp.asarray(offsets),
         jnp.asarray(indices),
+        (rows, cols),
+    )
+
+
+def bsr_from_blocks(
+    rows: int,
+    cols: int,
+    block_rows,
+    block_cols,
+    blocks: np.ndarray,
+    *,
+    dtype=jnp.float32,
+) -> BlockSparseMatrix:
+    """Hand-built BSR from explicit (block_row, block_col, block) triples.
+
+    ``block_rows`` must be non-decreasing (CSR block order). For tests that
+    need precise topologies (empty rows, specific intersections)."""
+    bs = blocks.shape[-1]
+    br = rows // bs
+    block_rows = np.asarray(block_rows, np.int32)
+    block_cols = np.asarray(block_cols, np.int32)
+    counts = np.bincount(block_rows, minlength=br)
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    return BlockSparseMatrix.create(
+        jnp.asarray(blocks, dtype=dtype),
+        jnp.asarray(offsets),
+        jnp.asarray(block_cols),
         (rows, cols),
     )
 

@@ -1,0 +1,196 @@
+"""Flat-work-list (exact schedule) SSD / SDS / DSS kernel tests.
+
+Covers: all four transpose modes vs the fp64 dense oracle, explicit
+pre-planned schedules passed through a jit boundary (the ``MatmulEx``
+discipline), empty output rows/columns (unvisited blocks must be zeroed),
+unordered column indices, and plan-inside-jit rejection.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sputnik_tpu import ops
+from sputnik_tpu.kernels import reference
+from sputnik_tpu.utils import testing
+from sputnik_tpu.utils.testing import ATOL
+
+BS = 128
+MODES = [(False, False), (False, True), (True, False), (True, True)]
+
+PROBLEMS = [
+    (256, 256, 256, 1.0, False),
+    (512, 512, 256, 0.5, False),
+    (512, 256, 512, 0.25, True),   # unordered column indices
+    (768, 512, 640, 0.125, False),  # uneven rows, sparse
+]
+
+
+def _mk(rng, rows, cols, density, unordered, dtype=jnp.float32):
+    nnz = int(rows * cols * density)
+    return testing.random_bsr(
+        rng, rows, cols, max(nnz, BS * BS), BS, unordered=unordered, dtype=dtype
+    )
+
+
+def _dims(m, k, n, ta, tb):
+    return ((k, m) if ta else (m, k)), ((n, k) if tb else (k, n))
+
+
+@pytest.mark.parametrize("ta,tb", MODES)
+@pytest.mark.parametrize("m,k,n,density,unordered", PROBLEMS)
+def test_ssd_flat(rng, m, k, n, density, unordered, ta, tb):
+    a_shape, b_shape = _dims(m, k, n, ta, tb)
+    a = _mk(rng, *a_shape, density, unordered)
+    b = jnp.asarray(rng.standard_normal(b_shape).astype(np.float32))
+    topo = _mk(rng, m, n, density, unordered)
+    out = ops.matmul_ssd(
+        a, b, topo, transpose_a=ta, transpose_b=tb, variant="pallas_flat_schedule"
+    )
+    full = testing.dense_oracle_matmul(
+        np.asarray(a.to_dense()), np.asarray(b), transpose_a=ta, transpose_b=tb
+    )
+    expected = np.asarray(
+        reference.extract_blocks(jnp.asarray(full.astype(np.float32)), topo)
+    )
+    np.testing.assert_allclose(np.asarray(out.data, np.float32), expected, atol=ATOL)
+
+
+@pytest.mark.parametrize("ta,tb", MODES)
+@pytest.mark.parametrize("m,k,n,density,unordered", PROBLEMS)
+def test_sds_flat(rng, m, k, n, density, unordered, ta, tb):
+    a_shape, b_shape = _dims(m, k, n, ta, tb)
+    a = jnp.asarray(rng.standard_normal(a_shape).astype(np.float32))
+    b = _mk(rng, *b_shape, density, unordered)
+    topo = _mk(rng, m, n, density, unordered)
+    out = ops.matmul_sds(
+        a, b, topo, transpose_a=ta, transpose_b=tb, variant="pallas_flat_schedule"
+    )
+    full = testing.dense_oracle_matmul(
+        np.asarray(a), np.asarray(b.to_dense()), transpose_a=ta, transpose_b=tb
+    )
+    expected = np.asarray(
+        reference.extract_blocks(jnp.asarray(full.astype(np.float32)), topo)
+    )
+    np.testing.assert_allclose(np.asarray(out.data, np.float32), expected, atol=ATOL)
+
+
+@pytest.mark.parametrize("ta,tb", MODES)
+@pytest.mark.parametrize("m,k,n,density,unordered", PROBLEMS)
+def test_dss_flat(rng, m, k, n, density, unordered, ta, tb):
+    a_shape, b_shape = _dims(m, k, n, ta, tb)
+    a = _mk(rng, *a_shape, density, unordered)
+    b = _mk(rng, *b_shape, density, unordered)
+    out = ops.matmul_dss(
+        a, b, transpose_a=ta, transpose_b=tb, variant="pallas_flat_schedule"
+    )
+    expected = testing.dense_oracle_matmul(
+        np.asarray(a.to_dense()), np.asarray(b.to_dense()),
+        transpose_a=ta, transpose_b=tb,
+    )
+    np.testing.assert_allclose(np.asarray(out, np.float32), expected, atol=ATOL)
+
+
+def test_explicit_schedule_through_jit(rng):
+    """Pre-planned schedules are pytrees: jit over them, traced metadata."""
+    m = k = n = 512
+    a = _mk(rng, m, k, 0.25, False)
+    b = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32))
+    topo = _mk(rng, m, n, 0.25, False)
+    sched = ops.plan_ssd(a, topo)
+
+    @jax.jit
+    def run(a_, b_, topo_, sched_):
+        return ops.matmul_ssd(a_, b_, topo_, schedule=sched_).data
+
+    got = run(a, b, topo, sched)
+    full = testing.dense_oracle_matmul(np.asarray(a.to_dense()), np.asarray(b))
+    expected = np.asarray(
+        reference.extract_blocks(jnp.asarray(full.astype(np.float32)), topo)
+    )
+    np.testing.assert_allclose(np.asarray(got, np.float32), expected, atol=ATOL)
+
+
+def test_dss_explicit_schedule_through_jit(rng):
+    m = k = n = 512
+    a = _mk(rng, m, k, 0.25, False)
+    b = _mk(rng, k, n, 0.25, False)
+    sched = ops.plan_dss(a, b)
+
+    @jax.jit
+    def run(a_, b_, sched_):
+        return ops.matmul_dss(a_, b_, schedule=sched_)
+
+    got = run(a, b, sched)
+    expected = testing.dense_oracle_matmul(
+        np.asarray(a.to_dense()), np.asarray(b.to_dense())
+    )
+    np.testing.assert_allclose(np.asarray(got, np.float32), expected, atol=ATOL)
+
+
+def test_empty_output_rows_are_zeroed(rng):
+    """Stream operand with an empty block-row -> unvisited topology blocks
+    must come back exactly zero (not uninitialized memory)."""
+    bs = BS
+    # A: blocks only in block-row 0 (rows 1..3 empty).
+    a = testing.bsr_from_blocks(
+        rows=4 * bs, cols=4 * bs,
+        block_rows=[0, 0], block_cols=[1, 3],
+        blocks=np.stack([np.ones((bs, bs), np.float32)] * 2),
+    )
+    b = jnp.asarray(rng.standard_normal((4 * bs, 2 * bs)).astype(np.float32))
+    # Topology covers every block-row, so rows 1..3 are unvisited.
+    topo = testing.bsr_from_blocks(
+        rows=4 * bs, cols=2 * bs,
+        block_rows=[0, 1, 2, 3], block_cols=[0, 1, 0, 1],
+        blocks=np.stack([np.ones((bs, bs), np.float32)] * 4),
+    )
+    out = ops.matmul_ssd(a, b, topo, variant="pallas_flat_schedule")
+    full = testing.dense_oracle_matmul(np.asarray(a.to_dense()), np.asarray(b))
+    expected = np.asarray(
+        reference.extract_blocks(jnp.asarray(full.astype(np.float32)), topo)
+    )
+    np.testing.assert_allclose(np.asarray(out.data, np.float32), expected, atol=ATOL)
+    assert np.all(np.asarray(out.data)[1:] == 0)
+
+
+def test_dss_empty_intersection_tiles_are_zeroed():
+    bs = BS
+    ones = np.ones((bs, bs), np.float32)
+    # A row 0 hits k-block 0; B k-block 0 hits column 0 only -> tile (0, 1)
+    # and all of row 1 have empty intersections.
+    a = testing.bsr_from_blocks(2 * bs, 2 * bs, [0], [0], np.stack([ones]))
+    b = testing.bsr_from_blocks(2 * bs, 2 * bs, [0], [0], np.stack([ones * 2]))
+    out = np.asarray(ops.matmul_dss(a, b, variant="pallas_flat_schedule"))
+    expected = np.asarray(a.to_dense()) @ np.asarray(b.to_dense())
+    np.testing.assert_allclose(out, expected, atol=ATOL)
+    assert np.all(out[:, bs:] == 0) and np.all(out[bs:] == 0)
+
+
+def test_plan_inside_jit_raises(rng):
+    a = _mk(rng, 256, 256, 0.5, False)
+    topo = _mk(rng, 256, 256, 0.5, False)
+
+    @jax.jit
+    def bad(a_, topo_):
+        return ops.plan_ssd(a_, topo_).out_ids
+
+    with pytest.raises(ValueError, match="concrete"):
+        bad(a, topo)
+
+
+def test_schedule_matches_masked_kernel(rng):
+    """Flat and masked kernels agree bit-for-bit on the same problem."""
+    m = k = n = 512
+    a = _mk(rng, m, k, 0.25, True)
+    b = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32))
+    topo = _mk(rng, m, n, 0.25, True)
+    flat = ops.matmul_ssd(a, b, topo, variant="pallas_flat_schedule")
+    masked = ops.matmul_ssd(a, b, topo, variant="pallas_output_stationary")
+    np.testing.assert_allclose(
+        np.asarray(flat.data, np.float32),
+        np.asarray(masked.data, np.float32),
+        atol=1e-5,
+    )
