@@ -23,6 +23,7 @@ from sputnik_tpu.formats import (
     BlockSparseMatrix,
     CsrMatrix,
     EllMatrix,
+    SellMatrix,
     bsr_from_dense,
     csr_from_dense,
 )
@@ -36,6 +37,7 @@ __all__ = [
     "BlockSparseMatrix",
     "CsrMatrix",
     "EllMatrix",
+    "SellMatrix",
     "bsr_from_dense",
     "csr_from_dense",
     "ops",

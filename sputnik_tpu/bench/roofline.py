@@ -137,40 +137,54 @@ def audit(d: int = 2048, density: float = 0.25, dtype_name: str = "bfloat16",
         perturb=0,
     )
 
-    # CSR engine (ELL fast paths) at the north-star config scale.
-    from sputnik_tpu.formats import EllMatrix
+    # CSR engine (SELL fast paths) at the north-star config scale. The
+    # byte model is the reference's GPU-style no-reuse accounting (one B
+    # row per nonzero); the SELL kernel rebuilds MXU panels in VMEM, so
+    # fractions > 1 mean it beats what any gather-based engine could do.
+    from sputnik_tpu.formats import SellMatrix
 
     c = testing.random_csr(rng, d, d, int(d * d * 0.1), dtype=jnp.float32)
-    e_mat = EllMatrix.from_csr(c)
+    s_mat = SellMatrix.from_csr(c)
+    nnz_e = int(d * d * 0.1)
     bn = 256
     bm = jnp.asarray(rng.standard_normal((d, bn)).astype(np.float32))
     add(
-        "csr_spmm(ell)",
+        "csr_spmm(sell)",
         lambda c_, b_: csr_ops.spmm(c_, b_),
-        (e_mat, bm),
-        2 * e_mat.nnz * bn,
-        e_mat.nnz * (bn + 1) * 4 + d * bn * 4,
+        (s_mat, bm),
+        2 * nnz_e * bn,
+        nnz_e * (bn + 1) * 4 + d * bn * 4,
+        perturb=1,
+    )
+    c_mirror = c.with_dense_mirror()
+    add(
+        "csr_spmm(mirror)",
+        lambda c_, b_: csr_ops.spmm(c_, b_),
+        (c_mirror, bm),
+        2 * nnz_e * bn,
+        nnz_e * (bn + 1) * 4 + d * bn * 4,
         perturb=1,
     )
     qm = jnp.asarray(rng.standard_normal((d, 64)).astype(np.float32))
     km = jnp.asarray(rng.standard_normal((d, 64)).astype(np.float32))
-    ctopo = EllMatrix.from_csr(
+    ctopo = SellMatrix.from_csr(
         testing.random_csr(rng, d, d, int(d * d * 0.05), dtype=jnp.float32)
     )
+    nnz_t = int(d * d * 0.05)
     add(
-        "csr_sddmm(ell)",
+        "csr_sddmm(sell)",
         lambda q_, k_: csr_ops.sddmm(q_, k_, ctopo).values,
         (qm, km),
-        2 * ctopo.nnz * 64,
-        ctopo.nnz * (2 * 64 + 1) * 4,
+        2 * nnz_t * 64,
+        nnz_t * (2 * 64 + 1) * 4,
         perturb=0,
     )
     add(
-        "csr_softmax(ell)",
+        "csr_softmax(sell)",
         lambda c_: csr_ops.sparse_softmax(c_).values,
-        (e_mat,),
-        5 * e_mat.nnz,
-        2 * e_mat.nnz * 4,
+        (s_mat,),
+        5 * nnz_e,
+        2 * nnz_e * 4,
         perturb=0,
     )
     return rows

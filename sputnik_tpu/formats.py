@@ -48,6 +48,7 @@ __all__ = [
     "BlockSparseMatrix",
     "CsrMatrix",
     "EllMatrix",
+    "SellMatrix",
     "bsr_from_dense",
     "bsr_to_dense",
     "csr_from_dense",
@@ -404,7 +405,7 @@ def bsr_to_dense(m: BlockSparseMatrix) -> Array:
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["values", "indices", "offsets", "row_indices"],
+    data_fields=["values", "indices", "offsets", "row_indices", "dense_mirror"],
     meta_fields=["shape"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -413,6 +414,13 @@ class CsrMatrix:
 
     Padding entries are legal: zero values with a valid duplicate column id
     (reference ``matrix_utils.cu:272-282``).
+
+    ``dense_mirror`` (opt-in, :meth:`with_dense_mirror`) keeps a dense copy
+    alongside the sparse descriptor for *static* matrices (weights): on TPU
+    a resident dense operand turns SpMM into a pure MXU matmul, orders of
+    magnitude past any gather-based path at DL sparsities. The sparse
+    arrays remain the source of truth; the mirror is a cached execution
+    strategy, the spirit of the reference's pre-built metadata buffers.
     """
 
     values: Array  # (nnz,)
@@ -420,6 +428,7 @@ class CsrMatrix:
     offsets: Array  # (rows + 1,) int32
     row_indices: Optional[Array]  # (nnz,) int32 row ids
     shape: Tuple[int, int]
+    dense_mirror: Optional[Array] = None  # (rows, cols), same dtype
 
     @property
     def rows(self) -> int:
@@ -461,10 +470,23 @@ class CsrMatrix:
     def with_values(self, values: Array) -> "CsrMatrix":
         if values.shape != self.values.shape:
             raise ValueError(f"values shape {values.shape} != {self.values.shape}")
-        return dataclasses.replace(self, values=values)
+        # New values invalidate a cached mirror.
+        return dataclasses.replace(self, values=values, dense_mirror=None)
+
+    def with_dense_mirror(self) -> "CsrMatrix":
+        """Attach a dense copy for the MXU fast path; idempotent."""
+        if self.dense_mirror is not None:
+            return self
+        return dataclasses.replace(self, dense_mirror=csr_to_dense(self))
 
     def astype(self, dtype) -> "CsrMatrix":
-        return dataclasses.replace(self, values=self.values.astype(dtype))
+        return dataclasses.replace(
+            self,
+            values=self.values.astype(dtype),
+            dense_mirror=None
+            if self.dense_mirror is None
+            else self.dense_mirror.astype(dtype),
+        )
 
     def to_dense(self) -> Array:
         return csr_to_dense(self)
@@ -623,3 +645,141 @@ class EllMatrix:
         )
         vals = jnp.where(self.valid_mask(), self.values, 0)
         return dense.at[r.reshape(-1), self.indices.reshape(-1)].add(vals.reshape(-1))
+
+
+# ---------------------------------------------------------------------------
+# SellMatrix — sliced-ELL by column chunks, the MXU clothing for CSR
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["values", "indices"],
+    meta_fields=["shape", "chunk", "pad_rows"],
+)
+@dataclasses.dataclass(frozen=True)
+class SellMatrix:
+    """Sliced-ELL: nonzeros grouped by 128-column chunk of the contraction
+    dimension, stored slot-major.
+
+    ``values/indices`` are ``(n_chunks, width, rows_padded)`` — the slot
+    ("width") axis lives in sublanes and the row axis in lanes, so a Pallas
+    kernel can reconstruct a dense ``(chunk, row_tile)`` panel with one
+    broadcast-compare-select per slot and feed it straight to the MXU (the
+    ``sell_spmm`` kernel). This is the TPU answer to upstream Sputnik's CSR
+    SpMM machinery (row swizzles, subwarp tilings, vector loads,
+    ``memory_aligner.h``): element gathers cost ~10ns each on TPU, so the
+    winning move is to rebuild MXU-shaped tiles from the sparse data with
+    dense VPU ops, not to chase gathers.
+
+    ``indices`` hold the column id *within* the chunk (0..chunk-1); padding
+    slots carry the sentinel ``chunk``, which never matches a lane id — no
+    separate mask array is needed anywhere. Rows are padded to a multiple
+    of 128 (``pad_rows`` extra, all sentinel).
+    """
+
+    values: Array  # (n_chunks, width, rows_padded)
+    indices: Array  # (n_chunks, width, rows_padded) int32; `chunk` = padding
+    shape: Tuple[int, int]  # logical (rows, cols)
+    chunk: int  # column-chunk width (128)
+    pad_rows: int  # rows_padded - rows
+
+    @property
+    def rows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def cols(self) -> int:
+        return self.shape[1]
+
+    @property
+    def rows_padded(self) -> int:
+        return self.values.shape[2]
+
+    @property
+    def n_chunks(self) -> int:
+        return self.values.shape[0]
+
+    @property
+    def width(self) -> int:
+        return self.values.shape[1]
+
+    @property
+    def nnz(self) -> int:  # padded slot count
+        return int(np.prod(self.values.shape))
+
+    @property
+    def dtype(self):
+        return self.values.dtype
+
+    def valid_mask(self) -> Array:
+        return self.indices < self.chunk
+
+    def with_values(self, values: Array) -> "SellMatrix":
+        if values.shape != self.values.shape:
+            raise ValueError(f"values shape {values.shape} != {self.values.shape}")
+        return dataclasses.replace(self, values=values)
+
+    def astype(self, dtype) -> "SellMatrix":
+        return dataclasses.replace(self, values=self.values.astype(dtype))
+
+    @staticmethod
+    def from_csr(m: CsrMatrix, *, chunk: int = 128) -> "SellMatrix":
+        """CSR -> sliced-ELL on the host (concrete metadata required: the
+        width is data-dependent). Stable: slots within a (row, chunk) group
+        keep CSR order, so unordered column indices are preserved."""
+        for x, what in ((m.offsets, "offsets"), (m.indices, "indices"), (m.values, "values")):
+            if isinstance(x, jax.core.Tracer):
+                raise ValueError(
+                    f"SellMatrix.from_csr needs concrete {what}; build the "
+                    "format outside jit and pass it through as a pytree"
+                )
+        rows, cols = m.shape
+        rows_p = max(-(-rows // 128) * 128, 128)
+        n_chunks = max(-(-cols // chunk), 1)
+        vals = np.asarray(m.values)
+        cidx = np.asarray(m.indices)
+        ridx = np.asarray(m.row_indices)
+        chunk_of = cidx // chunk
+        order = np.lexsort((np.arange(len(cidx)), chunk_of, ridx))
+        r_s, ch_s = ridx[order], chunk_of[order]
+        c_s, v_s = (cidx[order] % chunk).astype(np.int32), vals[order]
+        key = r_s.astype(np.int64) * n_chunks + ch_s
+        if len(key):
+            newgrp = np.concatenate([[True], key[1:] != key[:-1]])
+            grp_start = np.maximum.accumulate(
+                np.where(newgrp, np.arange(len(key)), 0)
+            )
+            slot = np.arange(len(key)) - grp_start
+            width = int(slot.max()) + 1
+        else:
+            slot = np.zeros((0,), np.int64)
+            width = 1
+        sv = np.zeros((n_chunks, width, rows_p), vals.dtype)
+        sc = np.full((n_chunks, width, rows_p), chunk, np.int32)
+        sv[ch_s, slot, r_s] = v_s
+        sc[ch_s, slot, r_s] = c_s
+        return SellMatrix(
+            values=jnp.asarray(sv, dtype=m.dtype),
+            indices=jnp.asarray(sc),
+            shape=(rows, cols),
+            chunk=chunk,
+            pad_rows=rows_p - rows,
+        )
+
+    def to_dense(self) -> Array:
+        dense = jnp.zeros((self.n_chunks, self.chunk + 1, self.rows_padded), self.dtype)
+        ch = jnp.broadcast_to(
+            jnp.arange(self.n_chunks, dtype=jnp.int32)[:, None, None], self.values.shape
+        )
+        rr = jnp.broadcast_to(
+            jnp.arange(self.rows_padded, dtype=jnp.int32)[None, None, :], self.values.shape
+        )
+        dense = dense.at[ch.reshape(-1), self.indices.reshape(-1), rr.reshape(-1)].add(
+            self.values.reshape(-1)
+        )
+        dense = dense[:, : self.chunk, :]  # drop the sentinel plane
+        full = dense.transpose(2, 0, 1).reshape(
+            self.rows_padded, self.n_chunks * self.chunk
+        )
+        return full[: self.rows, : self.cols]

@@ -26,7 +26,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from sputnik_tpu.formats import CsrMatrix, EllMatrix, sorted_row_swizzle
+from sputnik_tpu.formats import CsrMatrix, EllMatrix, SellMatrix, sorted_row_swizzle
+from sputnik_tpu.kernels import sell as sell_kernels
 
 __all__ = [
     "spmm",
@@ -37,11 +38,12 @@ __all__ = [
     "spmm_ell",
     "sddmm_ell",
     "sparse_softmax_ell",
+    "sparse_softmax_sell",
 ]
 
 
 def spmm(
-    a: CsrMatrix | EllMatrix,
+    a: CsrMatrix | EllMatrix | SellMatrix,
     b: jax.Array,
     *,
     transpose_b: bool = False,
@@ -56,12 +58,22 @@ def spmm(
     out_dtype = out_dtype or a.dtype
     if transpose_b:
         b = b.T
+    if isinstance(a, SellMatrix):
+        return sell_kernels.spmm(a, b, out_dtype=out_dtype)
     if isinstance(a, EllMatrix):
         return spmm_ell(a, b, out_dtype=out_dtype)
     n = b.shape[1]
     if a.nnz == 0:
         return jnp.zeros((a.rows, n), out_dtype)
+    if a.dense_mirror is not None:
+        # Static-matrix fast path: the cached dense mirror turns SpMM into
+        # one MXU matmul (the dominant strategy on TPU at DL sparsities).
+        return jnp.dot(
+            a.dense_mirror, b, preferred_element_type=jnp.float32
+        ).astype(out_dtype)
     if not isinstance(a.offsets, jax.core.Tracer):
+        if not isinstance(a.values, jax.core.Tracer):
+            return sell_kernels.spmm(SellMatrix.from_csr(a), b, out_dtype=out_dtype)
         return spmm_ell(EllMatrix.from_csr(a), b, out_dtype=out_dtype)
     gathered = jnp.take(b, a.indices, axis=0).astype(jnp.float32)
     prods = gathered * a.values.astype(jnp.float32)[:, None]
@@ -108,7 +120,7 @@ def spmm_ell(
 def sddmm(
     a: jax.Array,
     b: jax.Array,
-    topology: CsrMatrix | EllMatrix,
+    topology: CsrMatrix | EllMatrix | SellMatrix,
     *,
     transpose_b: bool = True,
     out_dtype=None,
@@ -122,6 +134,8 @@ def sddmm(
     out_dtype = out_dtype or topology.dtype
     if not transpose_b:
         b = b.T  # normalize to (N, K) rows
+    if isinstance(topology, SellMatrix):
+        return sell_kernels.sddmm(a, b, topology, out_dtype=out_dtype)
     if isinstance(topology, EllMatrix):
         return sddmm_ell(a, b, topology, out_dtype=out_dtype)
     if topology.nnz == 0:
@@ -174,7 +188,24 @@ def sparse_softmax_ell(a: EllMatrix, *, scale: float | None = None) -> EllMatrix
     return a.with_values((e / s).astype(a.dtype))
 
 
-def sparse_softmax(a: CsrMatrix | EllMatrix, *, scale: float | None = None):
+def sparse_softmax_sell(a: SellMatrix, *, scale: float | None = None) -> SellMatrix:
+    """Row softmax over a SELL matrix — dense VPU math over the padded
+    slots; padding (sentinel-index) slots contribute nothing. Layout is
+    (n_chunks, width, rows): the row axis is last, so reductions run over
+    the leading axes."""
+    v = a.values.astype(jnp.float32)
+    if scale is not None:
+        v = v * scale
+    mask = a.valid_mask()
+    v = jnp.where(mask, v, -jnp.inf)
+    m = jnp.max(v, axis=(0, 1), keepdims=True)
+    m = jnp.maximum(m, -jnp.finfo(jnp.float32).max)
+    e = jnp.where(mask, jnp.exp(v - m), 0.0)
+    s = jnp.maximum(jnp.sum(e, axis=(0, 1), keepdims=True), 1e-30)
+    return a.with_values((e / s).astype(a.dtype))
+
+
+def sparse_softmax(a: CsrMatrix | EllMatrix | SellMatrix, *, scale: float | None = None):
     """Row-wise softmax over the nonzero values (upstream ``SparseSoftmax``).
 
     Numerically stable: per-row max subtraction via segment_max. Rows with
@@ -183,6 +214,8 @@ def sparse_softmax(a: CsrMatrix | EllMatrix, *, scale: float | None = None):
     — callers who pad topologies should mask afterwards; the reference has
     the same caveat).
     """
+    if isinstance(a, SellMatrix):
+        return sparse_softmax_sell(a, scale=scale)
     if isinstance(a, EllMatrix):
         return sparse_softmax_ell(a, scale=scale)
     if a.nnz == 0:

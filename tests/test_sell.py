@@ -1,0 +1,148 @@
+"""SellMatrix (sliced-ELL) format + kernel tests.
+
+The SELL engine is the CSR fast path: format roundtrip, SpMM/SDDMM vs the
+fp64 oracle (awkward shapes included), sparse softmax equivalence with the
+CSR path, the dense-mirror fast path, and the full SDDMM -> softmax -> SpMM
+attention-score chain staying inside the format.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sputnik_tpu.formats import CsrMatrix, SellMatrix
+from sputnik_tpu.ops import csr as csr_ops
+from sputnik_tpu.utils import testing
+from sputnik_tpu.utils.testing import ATOL
+
+SHAPES = [
+    (128, 128, 0.5),
+    (256, 512, 0.1),
+    (200, 300, 0.15),   # rows/cols not multiples of 128
+    (512, 96, 0.3),     # cols < one chunk
+    (384, 384, 0.02),   # very sparse
+]
+
+
+def _mk(rng, rows, cols, density, **kw):
+    return testing.random_csr(rng, rows, cols, int(rows * cols * density), **kw)
+
+
+@pytest.mark.parametrize("rows,cols,density", SHAPES)
+def test_roundtrip(rng, rows, cols, density):
+    c = _mk(rng, rows, cols, density)
+    s = SellMatrix.from_csr(c)
+    np.testing.assert_allclose(
+        np.asarray(s.to_dense()), np.asarray(c.to_dense()), atol=1e-6
+    )
+
+
+@pytest.mark.parametrize("rows,cols,density", SHAPES)
+@pytest.mark.parametrize("n", [64, 256, 100])
+def test_spmm(rng, rows, cols, density, n):
+    c = _mk(rng, rows, cols, density)
+    s = SellMatrix.from_csr(c)
+    b = jnp.asarray(rng.standard_normal((cols, n)).astype(np.float32))
+    out = csr_ops.spmm(s, b)
+    expected = testing.dense_oracle_matmul(np.asarray(c.to_dense()), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(out, np.float32), expected, atol=ATOL)
+
+
+def test_spmm_auto_sell_for_concrete_csr(rng):
+    c = _mk(rng, 256, 256, 0.1)
+    b = jnp.asarray(rng.standard_normal((256, 64)).astype(np.float32))
+    out = csr_ops.spmm(c, b)  # dispatches through SellMatrix.from_csr
+    expected = testing.dense_oracle_matmul(np.asarray(c.to_dense()), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(out, np.float32), expected, atol=ATOL)
+
+
+def test_spmm_dense_mirror(rng):
+    c = _mk(rng, 256, 256, 0.1).with_dense_mirror()
+    assert c.dense_mirror is not None
+    b = jnp.asarray(rng.standard_normal((256, 64)).astype(np.float32))
+    out = csr_ops.spmm(c, b)
+    expected = testing.dense_oracle_matmul(np.asarray(c.to_dense()), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(out, np.float32), expected, atol=ATOL)
+    # New values invalidate the mirror (it would be stale).
+    c2 = c.with_values(c.values * 2)
+    assert c2.dense_mirror is None
+
+
+@pytest.mark.parametrize("rows,cols,density", SHAPES[:4])
+@pytest.mark.parametrize("k", [64, 128])
+def test_sddmm(rng, rows, cols, density, k):
+    topo = SellMatrix.from_csr(_mk(rng, rows, cols, density))
+    a = jnp.asarray(rng.standard_normal((rows, k)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((cols, k)).astype(np.float32))
+    out = csr_ops.sddmm(a, b, topo)
+    assert isinstance(out, SellMatrix)
+    # Oracle: full scores masked by the topology pattern.
+    scores = testing.dense_oracle_matmul(np.asarray(a), np.asarray(b), transpose_b=True)
+    pattern = np.asarray(topo.to_dense()) != 0
+    np.testing.assert_allclose(
+        np.asarray(out.to_dense(), np.float32),
+        scores * pattern,
+        atol=ATOL,
+    )
+    # Padding slots stay exactly zero.
+    assert np.all(np.asarray(out.values)[~np.asarray(out.valid_mask())] == 0)
+
+
+def test_softmax_matches_csr_path(rng):
+    c = _mk(rng, 256, 256, 0.1)
+    s = SellMatrix.from_csr(c)
+    out_sell = csr_ops.sparse_softmax(s, scale=0.5)
+    out_csr = csr_ops.sparse_softmax(c, scale=0.5)
+    np.testing.assert_allclose(
+        np.asarray(out_sell.to_dense(), np.float32),
+        np.asarray(out_csr.to_dense(), np.float32),
+        atol=1e-5,
+    )
+
+
+def test_attention_chain_stays_in_sell(rng):
+    """sddmm -> sparse softmax -> spmm, the Sputnik attention pipeline."""
+    seq, dk = 256, 64
+    topo = SellMatrix.from_csr(_mk(rng, seq, seq, 0.08))
+    q = jnp.asarray(rng.standard_normal((seq, dk)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((seq, dk)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((seq, dk)).astype(np.float32))
+
+    scores = csr_ops.sddmm(q, k, topo)
+    probs = csr_ops.sparse_softmax(scores, scale=1.0 / np.sqrt(dk))
+    out = csr_ops.spmm(probs, v)
+
+    # Dense oracle with -inf masking.
+    s = (np.asarray(q, np.float64) @ np.asarray(k, np.float64).T) / np.sqrt(dk)
+    pattern = np.asarray(topo.to_dense()) != 0
+    s = np.where(pattern, s, -np.inf)
+    p = np.exp(s - s.max(1, keepdims=True))
+    p = np.nan_to_num(p / np.maximum(p.sum(1, keepdims=True), 1e-30))
+    expected = p @ np.asarray(v, np.float64)
+    np.testing.assert_allclose(np.asarray(out, np.float32), expected, atol=ATOL)
+
+
+def test_from_csr_inside_jit_raises(rng):
+    c = _mk(rng, 128, 128, 0.5)
+
+    @jax.jit
+    def bad(c_):
+        return SellMatrix.from_csr(c_).values
+
+    with pytest.raises(ValueError, match="concrete"):
+        bad(c)
+
+
+def test_sell_is_pytree(rng):
+    s = SellMatrix.from_csr(_mk(rng, 256, 256, 0.1))
+    b = jnp.ones((256, 64), jnp.float32)
+
+    @jax.jit
+    def run(s_, b_):
+        return csr_ops.spmm(s_, b_)
+
+    out = run(s, b)
+    expected = np.asarray(s.to_dense(), np.float64) @ np.asarray(b, np.float64)
+    np.testing.assert_allclose(np.asarray(out, np.float32), expected, atol=ATOL)
