@@ -56,6 +56,7 @@ __all__ = [
     "build_transpose_metadata",
     "row_indices_from_offsets",
     "block_position_map",
+    "block_bitmask",
     "sorted_row_swizzle",
 ]
 
@@ -126,6 +127,30 @@ def block_position_map(
         return pos
     # Padding blocks duplicate a (row, col) slot; `.max` keeps a valid id.
     return pos.at[row_ids, indices].max(jnp.arange(nnz, dtype=jnp.int32))
+
+
+def block_bitmask(
+    offsets: Array, indices: Array, n_rows_b: int, n_cols_b: int
+) -> Array:
+    """Packed presence bitmask of the block pattern: ``(n_rows_b, words)``
+    uint32, bit ``c % 32`` of word ``c // 32`` set iff block (r, c) exists.
+
+    Layout parity with the reference's ``BitMatrix`` (``bit_matrix.h:10-53``,
+    64-bit words there, 32-bit here to match TPU SMEM width; rows padded to
+    whole words). The sparse×sparse kernels consume the richer
+    :func:`block_position_map` instead — this packed form exists for
+    interop, debugging, and pattern set-algebra (AND of two masks = the
+    DSS intersection, ``index_merge.h:163-169``).
+    """
+    words = -(-n_cols_b // 32)
+    pos = block_position_map(offsets, indices, n_rows_b, n_cols_b)
+    present = pos >= 0  # (n_rows_b, n_cols_b)
+    pad = words * 32 - n_cols_b
+    if pad:
+        present = jnp.pad(present, ((0, 0), (0, pad)))
+    bits = present.reshape(n_rows_b, words, 32).astype(jnp.uint32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+    return jnp.sum(bits << shifts, axis=2, dtype=jnp.uint32)
 
 
 def sorted_row_swizzle(offsets: Array) -> Array:

@@ -39,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 from sputnik_tpu.formats import SellMatrix
 from sputnik_tpu.kernels.common import cdiv, compiler_params, use_interpret
 
-__all__ = ["spmm", "sddmm"]
+__all__ = ["spmm", "spmm_t", "sddmm"]
 
 _TR = 128  # row-tile (lanes); SellMatrix pads rows to a multiple of this
 
@@ -115,6 +115,80 @@ def spmm(
         interpret=interpret,
     )(a.values, a.indices, b)
     return out[: a.rows]
+
+
+def _spmm_t_kernel(vals_ref, cols_ref, x_ref, out_ref, acc_ref, *, n_rowtiles, width, chunk):
+    rt = pl.program_id(2)
+
+    @pl.when(rt == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (chunk, _TR), 0)
+
+    def body(w, s):
+        cols_row = cols_ref[0, w, :][None, :]
+        vals_row = vals_ref[0, w, :][None, :].astype(jnp.float32)
+        return s + jnp.where(iota_c == cols_row, vals_row, 0.0)
+
+    s_t = jax.lax.fori_loop(0, width, body, jnp.zeros((chunk, _TR), jnp.float32))
+    # S^T is (chunk, rows-tile): contract the row axis with X's rows.
+    acc_ref[:] += jax.lax.dot_general(
+        s_t,
+        x_ref[:].astype(jnp.float32),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(rt == n_rowtiles - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def spmm_t(
+    a: SellMatrix,
+    x: jax.Array,
+    *,
+    out_dtype=None,
+    n_tile: int = 512,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """C[cols, N] = A_sell^T @ X[rows, N] — the weight-gradient shape.
+
+    Reuses the SELL panel reconstruction with the contraction flipped to the
+    row axis (the reference covers this case with its TN instantiations +
+    transpose metadata; SELL needs no extra metadata at all: the chunk axis
+    IS the transposed matrix's row grouping).
+    """
+    interpret = use_interpret() if interpret is None else interpret
+    out_dtype = out_dtype or a.dtype
+    if x.shape[0] != a.rows:
+        raise ValueError(f"contraction mismatch: A rows={a.rows}, X rows={x.shape[0]}")
+    n = x.shape[1]
+    if a.pad_rows:
+        x = jnp.pad(x, ((0, a.pad_rows), (0, 0)))
+    bn = min(n, n_tile)
+    if n % bn:
+        bn = n
+    n_rowtiles = a.rows_padded // _TR
+    grid = (a.n_chunks, cdiv(n, bn), n_rowtiles)
+    out = pl.pallas_call(
+        functools.partial(
+            _spmm_t_kernel, n_rowtiles=n_rowtiles, width=a.width, chunk=a.chunk
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, a.width, _TR), lambda kc, nt, rt: (kc, 0, rt)),
+            pl.BlockSpec((1, a.width, _TR), lambda kc, nt, rt: (kc, 0, rt)),
+            pl.BlockSpec((_TR, bn), lambda kc, nt, rt: (rt, nt)),
+        ],
+        out_specs=pl.BlockSpec((a.chunk, bn), lambda kc, nt, rt: (kc, nt)),
+        scratch_shapes=[pltpu.VMEM((a.chunk, bn), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((a.n_chunks * a.chunk, n), out_dtype),
+        compiler_params=compiler_params(("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(a.values, a.indices, x)
+    return out[: a.cols]
 
 
 # Above this slot width the one-shot (width, chunk, TR) select tensor would

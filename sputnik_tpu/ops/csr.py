@@ -23,11 +23,69 @@ All functions are jit-safe (static shapes come from the descriptor).
 
 from __future__ import annotations
 
+import dataclasses
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from sputnik_tpu.formats import CsrMatrix, EllMatrix, SellMatrix, sorted_row_swizzle
 from sputnik_tpu.kernels import sell as sell_kernels
+
+
+def _sell_cotangent(primal: SellMatrix, values_grad) -> SellMatrix:
+    """Cotangent pytree: gradient values, float0 indices (JAX int leaves)."""
+    return dataclasses.replace(
+        primal,
+        values=values_grad.astype(primal.values.dtype),
+        indices=np.zeros(primal.indices.shape, jax.dtypes.float0),
+    )
+
+
+# --- differentiable SELL kernels (the Pallas calls need explicit VJPs) ---
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _sell_spmm(a: SellMatrix, b, out_dtype):
+    return sell_kernels.spmm(a, b, out_dtype=out_dtype)
+
+
+def _sell_spmm_fwd(a, b, out_dtype):
+    return _sell_spmm(a, b, out_dtype), (a, b)
+
+
+def _sell_spmm_bwd(out_dtype, res, g):
+    a, b = res
+    # dA values: g-rows dotted with B-rows at A's pattern -> SDDMM in-format.
+    dvals = sell_kernels.sddmm(g, b, a, out_dtype=jnp.float32).values
+    # dB = A^T @ g -> the transposed-SpMM kernel.
+    db = sell_kernels.spmm_t(a, g, out_dtype=b.dtype)
+    return _sell_cotangent(a, dvals), db
+
+
+_sell_spmm.defvjp(_sell_spmm_fwd, _sell_spmm_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _sell_sddmm(a, b, topology: SellMatrix, out_dtype):
+    return sell_kernels.sddmm(a, b, topology, out_dtype=out_dtype)
+
+
+def _sell_sddmm_fwd(a, b, topology, out_dtype):
+    return _sell_sddmm(a, b, topology, out_dtype), (a, b, topology)
+
+
+def _sell_sddmm_bwd(out_dtype, res, g):
+    a, b, topology = res
+    gs = topology.with_values(g.values.astype(topology.dtype))
+    da = sell_kernels.spmm(gs, b, out_dtype=a.dtype)      # (rows, k)
+    db = sell_kernels.spmm_t(gs, a, out_dtype=b.dtype)     # (cols, k)
+    dtopo = _sell_cotangent(topology, jnp.zeros_like(topology.values))
+    return da, db, dtopo
+
+
+_sell_sddmm.defvjp(_sell_sddmm_fwd, _sell_sddmm_bwd)
 
 __all__ = [
     "spmm",
@@ -59,7 +117,7 @@ def spmm(
     if transpose_b:
         b = b.T
     if isinstance(a, SellMatrix):
-        return sell_kernels.spmm(a, b, out_dtype=out_dtype)
+        return _sell_spmm(a, b, out_dtype)
     if isinstance(a, EllMatrix):
         return spmm_ell(a, b, out_dtype=out_dtype)
     n = b.shape[1]
@@ -73,7 +131,7 @@ def spmm(
         ).astype(out_dtype)
     if not isinstance(a.offsets, jax.core.Tracer):
         if not isinstance(a.values, jax.core.Tracer):
-            return sell_kernels.spmm(SellMatrix.from_csr(a), b, out_dtype=out_dtype)
+            return _sell_spmm(SellMatrix.from_csr(a), b, out_dtype)
         return spmm_ell(EllMatrix.from_csr(a), b, out_dtype=out_dtype)
     gathered = jnp.take(b, a.indices, axis=0).astype(jnp.float32)
     prods = gathered * a.values.astype(jnp.float32)[:, None]
@@ -135,7 +193,7 @@ def sddmm(
     if not transpose_b:
         b = b.T  # normalize to (N, K) rows
     if isinstance(topology, SellMatrix):
-        return sell_kernels.sddmm(a, b, topology, out_dtype=out_dtype)
+        return _sell_sddmm(a, b, topology, out_dtype)
     if isinstance(topology, EllMatrix):
         return sddmm_ell(a, b, topology, out_dtype=out_dtype)
     if topology.nnz == 0:
