@@ -11,6 +11,7 @@ Differentiable end to end (SDD/DSD custom VJPs + jnp softmax).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -99,10 +100,10 @@ def multihead_block_sparse_attention(
     causal: bool = False,
     scale: Optional[float] = None,
 ) -> jax.Array:
-    """(H, T, dh) multi-head wrapper (static unroll over heads; each head's
-    three sparse ops pipeline independently under jit)."""
-    outs = [
-        block_sparse_attention(q[h], k[h], v[h], topology, causal=causal, scale=scale)
-        for h in range(q.shape[0])
-    ]
-    return jnp.stack(outs)
+    """(H, T, dh) multi-head wrapper via ``vmap`` — the Pallas kernels batch
+    through their batching rule (one extra grid dimension), so all heads
+    compile as ONE kernel instead of H unrolled copies."""
+    fn = functools.partial(
+        block_sparse_attention, topology=topology, causal=causal, scale=scale
+    )
+    return jax.vmap(fn)(q, k, v)

@@ -127,8 +127,19 @@ def moe_forward(
     x: jax.Array,  # (tokens, d_model)
     cfg: MoEConfig,
     topology: BlockSparseMatrix,
+    *,
+    impl: str = "grouped",
 ) -> Tuple[jax.Array, jax.Array]:
-    """Returns (y, aux_loss). y has x's shape."""
+    """Returns (y, aux_loss). y has x's shape.
+
+    ``impl="grouped"`` (default): with fixed capacity the block-diagonal
+    sparse matmul degenerates to a batched per-expert GEMM — one einsum
+    per layer, pure MXU at peak (MegaBlocks makes the same specialization;
+    its general kernels exist for the *variable*-group dropless case, which
+    here is :func:`dropless_moe_forward` on the BSR kernels).
+    ``impl="bsr"``: the SDD -> DSD block-sparse path (same math; the
+    dropless code path exercised with a static topology).
+    """
     t = x.shape[0]
     logits = x.astype(jnp.float32) @ params["router"]
     slot, keep, prob, aux = _route(logits, cfg)
@@ -139,9 +150,22 @@ def moe_forward(
     x_perm = jnp.zeros((cfg.padded_tokens + 1, x.shape[1]), cfg.dtype)
     x_perm = x_perm.at[slot_or_drop].set(x.astype(cfg.dtype))[: cfg.padded_tokens]
 
-    h = ops.sdd(x_perm, params["w1"], topology)  # sparse (EC, E*F)
-    h = h.with_data(jax.nn.gelu(h.data.astype(jnp.float32)).astype(cfg.dtype))
-    y_perm = ops.dsd(h, params["w2"])  # (EC, d)
+    if impl == "grouped":
+        e, c, d, f = cfg.n_experts, cfg.capacity, cfg.d_model, cfg.d_ff
+        xg = x_perm.reshape(e, c, d)
+        w1 = params["w1"].reshape(d, e, f)
+        w2 = params["w2"].reshape(e, f, d)
+        h = jnp.einsum("ecd,def->ecf", xg, w1, preferred_element_type=jnp.float32)
+        h = jax.nn.gelu(h).astype(cfg.dtype)
+        y_perm = jnp.einsum(
+            "ecf,efd->ecd", h, w2, preferred_element_type=jnp.float32
+        ).reshape(e * c, d)
+    elif impl == "bsr":
+        h = ops.sdd(x_perm, params["w1"], topology)  # sparse (EC, E*F)
+        h = h.with_data(jax.nn.gelu(h.data.astype(jnp.float32)).astype(cfg.dtype))
+        y_perm = ops.dsd(h, params["w2"])  # (EC, d)
+    else:
+        raise ValueError(f"impl must be 'grouped' or 'bsr', got {impl!r}")
 
     y = jnp.take(y_perm, slot, axis=0).astype(jnp.float32)
     y = y * (prob * keep.astype(jnp.float32))[:, None]
@@ -195,6 +219,8 @@ def dropless_moe_forward(
     params: Dict[str, jax.Array],
     x: jax.Array,  # (tokens, d_model)
     cfg: MoEConfig,
+    *,
+    impl: str = "ragged",
 ) -> Tuple[jax.Array, jax.Array]:
     """Dropless top-1 MoE FFN: NO capacity, no dropped tokens. Every expert's
     token group is padded up to a block multiple; the total padded rows are
@@ -223,10 +249,25 @@ def dropless_moe_forward(
     dest = group_start[expert] + pos_in_expert  # always < t_pad (no drops)
 
     x_perm = jnp.zeros((t_pad, x.shape[1]), cfg.dtype).at[dest].set(x.astype(cfg.dtype))
-    topo = dropless_topology(expert_rows, cfg, max_block_rows)
-    h = ops.sdd(x_perm, params["w1"], topo)
-    h = h.with_data(jax.nn.gelu(h.data.astype(jnp.float32)).astype(cfg.dtype))
-    y_perm = ops.dsd(h, params["w2"])
+    if impl == "ragged":
+        # TPU-native variable-group grouped GEMM: XLA's ragged matmul keeps
+        # the MXU at peak with traced group sizes — the dropless case that
+        # motivated MegaBlocks' kernels, expressed as one primitive.
+        group_sizes = (expert_rows * bs).astype(jnp.int32)
+        w1 = jnp.transpose(
+            params["w1"].reshape(cfg.d_model, e, cfg.d_ff), (1, 0, 2)
+        )
+        w2 = params["w2"].reshape(e, cfg.d_ff, cfg.d_model)
+        h = jax.lax.ragged_dot(x_perm, w1, group_sizes)
+        h = jax.nn.gelu(h.astype(jnp.float32)).astype(cfg.dtype)
+        y_perm = jax.lax.ragged_dot(h, w2, group_sizes)
+    elif impl == "bsr":
+        topo = dropless_topology(expert_rows, cfg, max_block_rows)
+        h = ops.sdd(x_perm, params["w1"], topo)
+        h = h.with_data(jax.nn.gelu(h.data.astype(jnp.float32)).astype(cfg.dtype))
+        y_perm = ops.dsd(h, params["w2"])
+    else:
+        raise ValueError(f"impl must be 'ragged' or 'bsr', got {impl!r}")
 
     y = jnp.take(y_perm, dest, axis=0).astype(jnp.float32) * prob[:, None]
     me = jnp.mean(probs, axis=0)

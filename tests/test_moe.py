@@ -39,15 +39,28 @@ def _dense_oracle(params, x, cfg):
     return y
 
 
-def test_moe_forward_matches_dense(rng, cfg):
+@pytest.mark.parametrize("impl", ["grouped", "bsr"])
+def test_moe_forward_matches_dense(rng, cfg, impl):
     key = jax.random.PRNGKey(0)
     params = models.init_moe_params(key, cfg)
     topo = models.block_diag_topology(cfg)
     x = jnp.asarray(rng.standard_normal((96, cfg.d_model)).astype(np.float32))
-    y, aux = models.moe_forward(params, x, cfg, topo)
+    y, aux = models.moe_forward(params, x, cfg, topo, impl=impl)
     exp = _dense_oracle(params, x, cfg)
     np.testing.assert_allclose(np.asarray(y, np.float32), exp, atol=5e-2, rtol=5e-2)
     assert float(aux) > 0
+
+
+def test_moe_grouped_matches_bsr(rng, cfg):
+    key = jax.random.PRNGKey(0)
+    params = models.init_moe_params(key, cfg)
+    topo = models.block_diag_topology(cfg)
+    x = jnp.asarray(rng.standard_normal((200, cfg.d_model)).astype(np.float32))
+    yg, _ = models.moe_forward(params, x, cfg, topo, impl="grouped")
+    yb, _ = models.moe_forward(params, x, cfg, topo, impl="bsr")
+    np.testing.assert_allclose(
+        np.asarray(yg, np.float32), np.asarray(yb, np.float32), atol=1e-3
+    )
 
 
 def test_moe_train_step_decreases_loss(rng, cfg):
@@ -78,7 +91,8 @@ def test_moe_train_step_decreases_loss(rng, cfg):
     assert np.isfinite(losses).all()
 
 
-def test_dropless_moe_matches_dense(rng):
+@pytest.mark.parametrize("impl", ["ragged", "bsr"])
+def test_dropless_moe_matches_dense(rng, impl):
     cfg = models.MoEConfig(
         d_model=128, d_ff=128, n_experts=4, capacity=128, dtype=jnp.float32
     )
@@ -88,7 +102,7 @@ def test_dropless_moe_matches_dense(rng):
 
     @jax.jit
     def fwd(params, x):
-        return models.dropless_moe_forward(params, x, cfg)
+        return models.dropless_moe_forward(params, x, cfg, impl=impl)
 
     y, aux = fwd(params, x)
     # Dense per-token oracle WITHOUT capacity (dropless: nothing dropped).
@@ -109,7 +123,8 @@ def test_dropless_moe_matches_dense(rng):
     np.testing.assert_allclose(np.asarray(y, np.float32), exp, atol=5e-2, rtol=5e-2)
 
 
-def test_dropless_moe_grads(rng):
+@pytest.mark.parametrize("impl", ["ragged", "bsr"])
+def test_dropless_moe_grads(rng, impl):
     cfg = models.MoEConfig(
         d_model=128, d_ff=128, n_experts=2, capacity=128, dtype=jnp.float32
     )
@@ -118,7 +133,7 @@ def test_dropless_moe_grads(rng):
 
     @jax.jit
     def loss(params, x):
-        y, aux = models.dropless_moe_forward(params, x, cfg)
+        y, aux = models.dropless_moe_forward(params, x, cfg, impl=impl)
         return jnp.sum(y**2) * 1e-3 + 0.01 * aux
 
     grads = jax.grad(loss)(params, x)
