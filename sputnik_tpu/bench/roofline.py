@@ -128,12 +128,15 @@ def audit(d: int = 2048, density: float = 0.25, dtype_name: str = "bfloat16",
         dss_sched.total * (2 * 128 * 128 * isz) + d * d * isz,
         perturb=0,
     )
+    # Two-pass softmax (row max, then exp/normalize) reads the data twice
+    # and writes once — 3 passes is the structural minimum without
+    # buffering whole rows in VMEM.
     add(
         "bsr_softmax",
         lambda m_: bsr_softmax(m_).data,
         (a,),
         5 * nnz,
-        2 * nnz * isz,
+        3 * nnz * isz,
         perturb=0,
     )
 

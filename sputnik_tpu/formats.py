@@ -679,7 +679,7 @@ class EllMatrix:
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["values", "indices"],
+    data_fields=["values", "indices", "tile_widths", "row_perm"],
     meta_fields=["shape", "chunk", "pad_rows"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -708,6 +708,16 @@ class SellMatrix:
     shape: Tuple[int, int]  # logical (rows, cols)
     chunk: int  # column-chunk width (128)
     pad_rows: int  # rows_padded - rows
+    # Per-(chunk, 128-row tile) max slot count: kernels bound their slot
+    # loops by this instead of the global width, so ragged rows only cost
+    # their own tile. The TPU expression of Sputnik's SortedRowSwizzle load
+    # balancing (matrix_utils.cu:348-363): combined with sort_rows=True the
+    # rows of a tile have near-equal lengths and the bound is tight.
+    tile_widths: Optional[Array] = None  # (n_chunks, rows_padded // 128) int32
+    # When rows were sorted at construction: storage row r holds logical
+    # row row_perm[r]. Kernels produce storage-ordered outputs; the op
+    # layer unpermutes (spmm) / permutes inputs (sddmm) exactly once.
+    row_perm: Optional[Array] = None  # (rows_padded,) int32
 
     @property
     def rows(self) -> int:
@@ -749,10 +759,20 @@ class SellMatrix:
         return dataclasses.replace(self, values=self.values.astype(dtype))
 
     @staticmethod
-    def from_csr(m: CsrMatrix, *, chunk: int = 128) -> "SellMatrix":
+    def from_csr(
+        m: CsrMatrix, *, chunk: int = 128, sort_rows: bool = False
+    ) -> "SellMatrix":
         """CSR -> sliced-ELL on the host (concrete metadata required: the
         width is data-dependent). Stable: slots within a (row, chunk) group
-        keep CSR order, so unordered column indices are preserved."""
+        keep CSR order, so unordered column indices are preserved.
+
+        ``sort_rows=True`` applies the Sputnik SortedRowSwizzle at
+        construction: storage rows ordered by descending nnz, so each
+        128-row tile has near-uniform lengths and the per-tile slot bounds
+        (``tile_widths``) are tight. The op layer un/permutes at the
+        boundaries; heavy-tailed row distributions (magnitude pruning) gain
+        the most.
+        """
         for x, what in ((m.offsets, "offsets"), (m.indices, "indices"), (m.values, "values")):
             if isinstance(x, jax.core.Tracer):
                 raise ValueError(
@@ -764,12 +784,25 @@ class SellMatrix:
         n_chunks = max(-(-cols // chunk), 1)
         vals = np.asarray(m.values)
         cidx = np.asarray(m.indices)
-        ridx = np.asarray(m.row_indices)
+        ridx = np.asarray(m.row_indices).astype(np.int64)
+
+        row_perm = None
+        if sort_rows:
+            offs = np.asarray(m.offsets)
+            lens = offs[1:] - offs[:-1]
+            order_rows = np.argsort(-lens, kind="stable").astype(np.int32)
+            row_perm = np.concatenate(
+                [order_rows, np.arange(rows, rows_p, dtype=np.int32)]
+            )
+            inv = np.empty(rows, np.int64)
+            inv[order_rows] = np.arange(rows)
+            ridx = inv[ridx]  # storage row of each nonzero
+
         chunk_of = cidx // chunk
         order = np.lexsort((np.arange(len(cidx)), chunk_of, ridx))
         r_s, ch_s = ridx[order], chunk_of[order]
         c_s, v_s = (cidx[order] % chunk).astype(np.int32), vals[order]
-        key = r_s.astype(np.int64) * n_chunks + ch_s
+        key = r_s * n_chunks + ch_s
         if len(key):
             newgrp = np.concatenate([[True], key[1:] != key[:-1]])
             grp_start = np.maximum.accumulate(
@@ -784,12 +817,18 @@ class SellMatrix:
         sc = np.full((n_chunks, width, rows_p), chunk, np.int32)
         sv[ch_s, slot, r_s] = v_s
         sc[ch_s, slot, r_s] = c_s
+        # Per-(chunk, row-tile) slot bound from per-(row, chunk) counts.
+        counts = np.zeros((n_chunks, rows_p), np.int32)
+        np.add.at(counts, (ch_s, r_s), 1)
+        tw = counts.reshape(n_chunks, rows_p // 128, 128).max(axis=2)
         return SellMatrix(
             values=jnp.asarray(sv, dtype=m.dtype),
             indices=jnp.asarray(sc),
             shape=(rows, cols),
             chunk=chunk,
             pad_rows=rows_p - rows,
+            tile_widths=jnp.asarray(tw),
+            row_perm=None if row_perm is None else jnp.asarray(row_perm),
         )
 
     def to_dense(self) -> Array:
@@ -807,4 +846,6 @@ class SellMatrix:
         full = dense.transpose(2, 0, 1).reshape(
             self.rows_padded, self.n_chunks * self.chunk
         )
+        if self.row_perm is not None:  # storage row r holds logical row perm[r]
+            full = jnp.zeros_like(full).at[self.row_perm].set(full)
         return full[: self.rows, : self.cols]

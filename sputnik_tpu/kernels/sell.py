@@ -44,13 +44,36 @@ __all__ = ["spmm", "spmm_t", "sddmm"]
 _TR = 128  # row-tile (lanes); SellMatrix pads rows to a multiple of this
 
 
-def _spmm_kernel(vals_ref, cols_ref, b_ref, out_ref, acc_ref, st_ref, *, n_chunks, width, chunk):
-    kc = pl.program_id(2)
+def _tile_widths(a: SellMatrix) -> jax.Array:
+    """Per-(chunk, row-tile) slot bounds; full width when not recorded."""
+    if a.tile_widths is not None:
+        return a.tile_widths.astype(jnp.int32)
+    return jnp.full((a.n_chunks, a.rows_padded // _TR), a.width, jnp.int32)
 
-    @pl.when(kc == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
 
+def _permute_rows_in(x: jax.Array, a: SellMatrix) -> jax.Array:
+    """Logical row order -> storage order (sorted matrices), padding rows."""
+    if x.shape[0] < a.rows_padded:
+        x = jnp.pad(x, ((0, a.rows_padded - x.shape[0]), (0, 0)))
+    if a.row_perm is None:
+        return x
+    return jnp.take(x, a.row_perm, axis=0)
+
+
+def _unpermute_rows(out: jax.Array, a: SellMatrix) -> jax.Array:
+    """Storage row order -> logical (inverse of the construction sort)."""
+    if a.row_perm is None:
+        return out
+    return jnp.take(out, jnp.argsort(a.row_perm), axis=0)
+
+
+def _reconstruct_panel(vals_ref, cols_ref, w_bound, chunk):
+    """Densify one (chunk, row-tile) panel S^T from SELL slots.
+
+    One broadcast-compare-select per slot; the loop runs to the PER-TILE
+    slot bound (the SortedRowSwizzle dividend: ragged rows only cost their
+    own tile), not the global width.
+    """
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (chunk, _TR), 0)
 
     def body(w, s):
@@ -58,9 +81,20 @@ def _spmm_kernel(vals_ref, cols_ref, b_ref, out_ref, acc_ref, st_ref, *, n_chunk
         vals_row = vals_ref[0, w, :][None, :].astype(jnp.float32)
         return s + jnp.where(iota_c == cols_row, vals_row, 0.0)
 
-    st_ref[:] = jax.lax.fori_loop(
-        0, width, body, jnp.zeros((chunk, _TR), jnp.float32)
+    return jax.lax.fori_loop(
+        0, w_bound, body, jnp.zeros((chunk, _TR), jnp.float32)
     )
+
+
+def _spmm_kernel(tw_ref, vals_ref, cols_ref, b_ref, out_ref, acc_ref, st_ref, *, n_chunks, chunk):
+    r = pl.program_id(0)
+    kc = pl.program_id(2)
+
+    @pl.when(kc == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    st_ref[:] = _reconstruct_panel(vals_ref, cols_ref, tw_ref[kc, r], chunk)
     # S^T is (chunk, TR): contract its chunk axis with B's row axis.
     acc_ref[:] += jax.lax.dot_general(
         st_ref[:],
@@ -95,43 +129,40 @@ def spmm(
     if n % bn:
         bn = n  # odd widths: single tile (keeps the index math exact)
     grid = (a.rows_padded // _TR, cdiv(n, bn), a.n_chunks)
-    out = pl.pallas_call(
-        functools.partial(
-            _spmm_kernel, n_chunks=a.n_chunks, width=a.width, chunk=a.chunk
-        ),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, a.width, _TR), lambda r, nt, kc: (kc, 0, r)),
-            pl.BlockSpec((1, a.width, _TR), lambda r, nt, kc: (kc, 0, r)),
-            pl.BlockSpec((a.chunk, bn), lambda r, nt, kc: (kc, nt)),
+            pl.BlockSpec((1, a.width, _TR), lambda r, nt, kc, tw: (kc, 0, r)),
+            pl.BlockSpec((1, a.width, _TR), lambda r, nt, kc, tw: (kc, 0, r)),
+            pl.BlockSpec((a.chunk, bn), lambda r, nt, kc, tw: (kc, nt)),
         ],
-        out_specs=pl.BlockSpec((_TR, bn), lambda r, nt, kc: (r, nt)),
+        out_specs=pl.BlockSpec((_TR, bn), lambda r, nt, kc, tw: (r, nt)),
         scratch_shapes=[
             pltpu.VMEM((_TR, bn), jnp.float32),
             pltpu.VMEM((a.chunk, _TR), jnp.float32),
         ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_spmm_kernel, n_chunks=a.n_chunks, chunk=a.chunk),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((a.rows_padded, n), out_dtype),
         compiler_params=compiler_params(("parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(a.values, a.indices, b)
+    )(_tile_widths(a), a.values, a.indices, b)
+    out = _unpermute_rows(out, a)
     return out[: a.rows]
 
 
-def _spmm_t_kernel(vals_ref, cols_ref, x_ref, out_ref, acc_ref, *, n_rowtiles, width, chunk):
+def _spmm_t_kernel(tw_ref, vals_ref, cols_ref, x_ref, out_ref, acc_ref, *, n_rowtiles, chunk):
+    kc = pl.program_id(0)
     rt = pl.program_id(2)
 
     @pl.when(rt == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, (chunk, _TR), 0)
-
-    def body(w, s):
-        cols_row = cols_ref[0, w, :][None, :]
-        vals_row = vals_ref[0, w, :][None, :].astype(jnp.float32)
-        return s + jnp.where(iota_c == cols_row, vals_row, 0.0)
-
-    s_t = jax.lax.fori_loop(0, width, body, jnp.zeros((chunk, _TR), jnp.float32))
+    s_t = _reconstruct_panel(vals_ref, cols_ref, tw_ref[kc, rt], chunk)
     # S^T is (chunk, rows-tile): contract the row axis with X's rows.
     acc_ref[:] += jax.lax.dot_general(
         s_t,
@@ -165,29 +196,30 @@ def spmm_t(
     if x.shape[0] != a.rows:
         raise ValueError(f"contraction mismatch: A rows={a.rows}, X rows={x.shape[0]}")
     n = x.shape[1]
-    if a.pad_rows:
-        x = jnp.pad(x, ((0, a.pad_rows), (0, 0)))
+    x = _permute_rows_in(x, a)
     bn = min(n, n_tile)
     if n % bn:
         bn = n
     n_rowtiles = a.rows_padded // _TR
     grid = (a.n_chunks, cdiv(n, bn), n_rowtiles)
-    out = pl.pallas_call(
-        functools.partial(
-            _spmm_t_kernel, n_rowtiles=n_rowtiles, width=a.width, chunk=a.chunk
-        ),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, a.width, _TR), lambda kc, nt, rt: (kc, 0, rt)),
-            pl.BlockSpec((1, a.width, _TR), lambda kc, nt, rt: (kc, 0, rt)),
-            pl.BlockSpec((_TR, bn), lambda kc, nt, rt: (rt, nt)),
+            pl.BlockSpec((1, a.width, _TR), lambda kc, nt, rt, tw: (kc, 0, rt)),
+            pl.BlockSpec((1, a.width, _TR), lambda kc, nt, rt, tw: (kc, 0, rt)),
+            pl.BlockSpec((_TR, bn), lambda kc, nt, rt, tw: (rt, nt)),
         ],
-        out_specs=pl.BlockSpec((a.chunk, bn), lambda kc, nt, rt: (kc, nt)),
+        out_specs=pl.BlockSpec((a.chunk, bn), lambda kc, nt, rt, tw: (kc, nt)),
         scratch_shapes=[pltpu.VMEM((a.chunk, bn), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_spmm_t_kernel, n_rowtiles=n_rowtiles, chunk=a.chunk),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((a.n_chunks * a.chunk, n), out_dtype),
         compiler_params=compiler_params(("parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(a.values, a.indices, x)
+    )(_tile_widths(a), a.values, a.indices, x)
     return out[: a.cols]
 
 
@@ -196,7 +228,9 @@ def spmm_t(
 _SDDMM_ONESHOT_MAX_WIDTH = 48
 
 
-def _sddmm_kernel(a_ref, b_ref, cols_ref, out_ref, *, width, chunk):
+def _sddmm_kernel(tw_ref, a_ref, b_ref, cols_ref, out_ref, *, width, chunk):
+    r = pl.program_id(0)
+    kc = pl.program_id(1)
     # scores^T[c, r] = B_chunk[c, :] . A_tile[r, :]  — one MXU call.
     scores_t = jax.lax.dot_general(
         b_ref[:].astype(jnp.float32),
@@ -213,6 +247,7 @@ def _sddmm_kernel(a_ref, b_ref, cols_ref, out_ref, *, width, chunk):
         out_ref[0] = jnp.sum(sel, axis=1).astype(out_ref.dtype)
         return
 
+    out_ref[0] = jnp.zeros((width, _TR), out_ref.dtype)  # slots past the bound
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (chunk, _TR), 0)
 
     def body(w, _):
@@ -223,7 +258,7 @@ def _sddmm_kernel(a_ref, b_ref, cols_ref, out_ref, *, width, chunk):
         out_ref[0, w, :] = picked[0].astype(out_ref.dtype)
         return 0
 
-    jax.lax.fori_loop(0, width, body, 0)
+    jax.lax.fori_loop(0, tw_ref[kc, r], body, 0)
 
 
 def sddmm(
@@ -249,25 +284,28 @@ def sddmm(
         raise ValueError(
             f"B must be (cols, k)=({topology.cols}, {k}), got {b.shape}"
         )
-    if topology.pad_rows:
-        a = jnp.pad(a, ((0, topology.pad_rows), (0, 0)))
+    a = _permute_rows_in(a, topology)
     k_padded = topology.n_chunks * topology.chunk
     if b.shape[0] < k_padded:
         b = jnp.pad(b, ((0, k_padded - b.shape[0]), (0, 0)))
     grid = (topology.rows_padded // _TR, topology.n_chunks)
-    values = pl.pallas_call(
-        functools.partial(_sddmm_kernel, width=topology.width, chunk=topology.chunk),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((_TR, k), lambda r, c: (r, 0)),
-            pl.BlockSpec((topology.chunk, k), lambda r, c: (c, 0)),
-            pl.BlockSpec((1, topology.width, _TR), lambda r, c: (c, 0, r)),
+            pl.BlockSpec((_TR, k), lambda r, c, tw: (r, 0)),
+            pl.BlockSpec((topology.chunk, k), lambda r, c, tw: (c, 0)),
+            pl.BlockSpec((1, topology.width, _TR), lambda r, c, tw: (c, 0, r)),
         ],
-        out_specs=pl.BlockSpec((1, topology.width, _TR), lambda r, c: (c, 0, r)),
+        out_specs=pl.BlockSpec((1, topology.width, _TR), lambda r, c, tw: (c, 0, r)),
+    )
+    values = pl.pallas_call(
+        functools.partial(_sddmm_kernel, width=topology.width, chunk=topology.chunk),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (topology.n_chunks, topology.width, topology.rows_padded), out_dtype
         ),
         compiler_params=compiler_params(("parallel", "parallel")),
         interpret=interpret,
-    )(a, b, topology.indices)
+    )(_tile_widths(topology), a, b, topology.indices)
     return topology.with_values(values)

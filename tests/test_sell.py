@@ -146,3 +146,64 @@ def test_sell_is_pytree(rng):
     out = run(s, b)
     expected = np.asarray(s.to_dense(), np.float64) @ np.asarray(b, np.float64)
     np.testing.assert_allclose(np.asarray(out, np.float32), expected, atol=ATOL)
+
+
+@pytest.mark.parametrize("rows,cols,density", [(256, 512, 0.05), (200, 300, 0.15)])
+def test_sorted_rows_roundtrip_and_ops(rng, rows, cols, density):
+    """sort_rows=True: the SortedRowSwizzle at construction. All ops must be
+    order-transparent (outputs in logical row order)."""
+    c = _mk(rng, rows, cols, density)
+    s = SellMatrix.from_csr(c, sort_rows=True)
+    assert s.row_perm is not None and s.tile_widths is not None
+    np.testing.assert_allclose(
+        np.asarray(s.to_dense()), np.asarray(c.to_dense()), atol=1e-6
+    )
+    b = jnp.asarray(rng.standard_normal((cols, 64)).astype(np.float32))
+    out = csr_ops.spmm(s, b)
+    expected = testing.dense_oracle_matmul(np.asarray(c.to_dense()), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(out, np.float32), expected, atol=ATOL)
+
+    a = jnp.asarray(rng.standard_normal((rows, 64)).astype(np.float32))
+    bb = jnp.asarray(rng.standard_normal((cols, 64)).astype(np.float32))
+    got = csr_ops.sddmm(a, bb, s)
+    scores = testing.dense_oracle_matmul(np.asarray(a), np.asarray(bb), transpose_b=True)
+    pattern = np.asarray(s.to_dense()) != 0
+    np.testing.assert_allclose(
+        np.asarray(got.to_dense(), np.float32), scores * pattern, atol=ATOL
+    )
+
+
+def test_sorted_rows_attention_chain(rng):
+    seq, dk = 256, 64
+    topo = SellMatrix.from_csr(_mk(rng, seq, seq, 0.08), sort_rows=True)
+    q, k, v = (jnp.asarray(rng.standard_normal((seq, dk)).astype(np.float32)) for _ in range(3))
+    scores = csr_ops.sddmm(q, k, topo)
+    probs = csr_ops.sparse_softmax(scores, scale=1.0 / np.sqrt(dk))
+    out = csr_ops.spmm(probs, v)
+    # unsorted reference
+    topo_u = SellMatrix.from_csr(_mk(np.random.default_rng(0), seq, seq, 0.08))
+    del topo_u
+    s = (np.asarray(q, np.float64) @ np.asarray(k, np.float64).T) / np.sqrt(dk)
+    pattern = np.asarray(topo.to_dense()) != 0
+    s = np.where(pattern, s, -np.inf)
+    p = np.exp(s - s.max(1, keepdims=True))
+    p = np.nan_to_num(p / np.maximum(p.sum(1, keepdims=True), 1e-30))
+    expected = p @ np.asarray(v, np.float64)
+    np.testing.assert_allclose(np.asarray(out, np.float32), expected, atol=ATOL)
+
+
+def test_sorted_rows_grads(rng):
+    s = SellMatrix.from_csr(_mk(rng, 256, 256, 0.08), sort_rows=True)
+    b = jnp.asarray(rng.standard_normal((256, 64)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((256, 64)).astype(np.float32))
+    gs, gb = jax.grad(
+        lambda s_, b_: jnp.sum(csr_ops.spmm(s_, b_) * w), argnums=(0, 1),
+        allow_int=True,
+    )(s, b)
+    dense = np.asarray(s.to_dense(), np.float64)
+    np.testing.assert_allclose(
+        np.asarray(gb, np.float32), dense.T @ np.asarray(w, np.float64), atol=ATOL
+    )
+    got_da = np.asarray(s.with_values(gs.values).to_dense(), np.float64)
+    exp_da = (np.asarray(w, np.float64) @ np.asarray(b, np.float64).T) * (dense != 0)
+    np.testing.assert_allclose(got_da, exp_da, atol=ATOL)
