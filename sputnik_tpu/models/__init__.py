@@ -16,6 +16,15 @@ from sputnik_tpu.models.attention import (
     multihead_block_sparse_attention,
 )
 from sputnik_tpu.models import moe_parallel
+from sputnik_tpu.models.transformer import (
+    TransformerConfig,
+    init_block_params,
+    block_forward,
+    init_lm_params,
+    lm_forward,
+    lm_loss,
+)
+from sputnik_tpu.models.transformer import lm_topologies
 
 __all__ = [
     "MoEConfig",
@@ -30,4 +39,11 @@ __all__ = [
     "block_sparse_attention",
     "multihead_block_sparse_attention",
     "moe_parallel",
+    "TransformerConfig",
+    "init_block_params",
+    "block_forward",
+    "init_lm_params",
+    "lm_forward",
+    "lm_loss",
+    "lm_topologies",
 ]

@@ -1,0 +1,96 @@
+"""Sparse transformer block / LM tests + format serialization."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sputnik_tpu import models
+from sputnik_tpu.formats import SellMatrix
+from sputnik_tpu.utils import testing
+from sputnik_tpu.utils.serialization import load_matrix, save_matrix
+
+
+@pytest.fixture
+def cfg():
+    return models.TransformerConfig(
+        d_model=128, n_heads=2, seq_len=256, window_blocks=2,
+        n_experts=2, d_ff=128, n_layers=2, vocab=128, dtype=jnp.float32,
+    )
+
+
+def test_block_forward_shapes_and_finite(rng, cfg):
+    params = models.init_block_params(jax.random.PRNGKey(0), cfg)
+    topo, moe_topo = models.lm_topologies(cfg)
+    x = jnp.asarray(rng.standard_normal((cfg.seq_len, cfg.d_model)).astype(np.float32))
+    y, aux = models.block_forward(params, x, cfg, topo, moe_topo)
+    assert y.shape == x.shape
+    assert np.isfinite(np.asarray(y, np.float32)).all()
+    assert float(aux) > 0
+
+
+def test_attention_is_causal(rng, cfg):
+    """Changing a future token must not change earlier logits."""
+    params = models.init_lm_params(jax.random.PRNGKey(1), cfg)
+    topos = models.lm_topologies(cfg)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab, cfg.seq_len), jnp.int32)
+    logits1, _ = models.lm_forward(params, toks, cfg, topos)
+    toks2 = toks.at[-1].set((toks[-1] + 1) % cfg.vocab)
+    logits2, _ = models.lm_forward(params, toks2, cfg, topos)
+    np.testing.assert_allclose(
+        np.asarray(logits1[:-1], np.float32),
+        np.asarray(logits2[:-1], np.float32),
+        atol=1e-4,
+    )
+
+
+def test_lm_train_step_decreases_loss(rng, cfg):
+    import optax
+
+    params = models.init_lm_params(jax.random.PRNGKey(2), cfg)
+    topos = models.lm_topologies(cfg)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab, cfg.seq_len), jnp.int32)
+
+    opt = optax.adam(3e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        loss, grads = jax.value_and_grad(
+            lambda p: models.lm_loss(p, toks, cfg, topos)
+        )(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for _ in range(5):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+
+@pytest.mark.parametrize("kind", ["bsr", "csr", "sell", "sell_sorted", "ell"])
+def test_save_load_roundtrip(rng, tmp_path, kind):
+    from sputnik_tpu.formats import EllMatrix
+
+    c = testing.random_csr(rng, 256, 300, 2000)
+    if kind == "bsr":
+        m = testing.random_bsr(rng, 256, 256, 256 * 256 // 4, 128)
+    elif kind == "csr":
+        m = c
+    elif kind == "sell":
+        m = SellMatrix.from_csr(c)
+    elif kind == "sell_sorted":
+        m = SellMatrix.from_csr(c, sort_rows=True)
+    else:
+        m = EllMatrix.from_csr(c)
+    p = str(tmp_path / "m.npz")
+    save_matrix(p, m)
+    m2 = load_matrix(p)
+    np.testing.assert_allclose(
+        np.asarray(m.to_dense(), np.float32),
+        np.asarray(m2.to_dense(), np.float32),
+        atol=1e-6,
+    )
