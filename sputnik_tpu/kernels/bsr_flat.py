@@ -11,12 +11,16 @@ metadata inside the kernel (``block_gemm.h:129-192`` ``StepsK()``,
 The TPU-native answer: precompute the EXACT flattened work list once, at
 plan time, on the host —
 
-    work item j  =  (output block, sparse operand block, dense/k tile)
+    work item  =  (output block, sparse operand block, dense/k tile)
 
-ordered by output block — and run the proven DSD-style stream kernel over a
-1-D grid of exactly ``total_work`` steps: accumulator carries partial sums
-across consecutive items of one output block and flushes on the last. Zero
-wasted steps, any sparsity profile.
+ordered by output block — and stream it over a 1-D grid: the accumulator
+carries partial sums across consecutive items of one output block and
+flushes on the last. Work items are batched ``group`` (default 4) per grid
+step — each step fetches ``group`` blocks + ``group`` panels through
+separate block specs and issues ``group`` MXU dots — which amortizes the
+fixed per-step cost (~230 ns on v5e) over 4x the work (measured 1.5x).
+Groups are padded to a multiple of ``group`` with flag-0 duplicates of the
+last item (the fetch is cached, the contribution masked to zero).
 
 This is the analogue of the reference's ``MatmulEx`` / pre-built-metadata
 discipline (``block/dsd/dsd.cu:20-27``: build buffers once, skip on the hot
@@ -55,31 +59,38 @@ __all__ = [
     "dss_flat",
 ]
 
+DEFAULT_GROUP = 4  # work items per grid step (measured best on v5e)
+
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["out_ids", "dep_ids", "data_ids", "other_ids"],
-    meta_fields=["kind", "total", "all_visited", "visited_key"],
+    data_fields=["out_ids", "dep_ids", "data_ids", "other_ids", "flags"],
+    meta_fields=["kind", "total", "group", "n_steps", "all_visited", "visited_key"],
 )
 @dataclasses.dataclass(frozen=True)
 class FlatSchedule:
     """Flattened matmul work list (pytree; shapes static, contents arrays).
 
-    ``out_ids`` is non-decreasing (items of one output block are
-    consecutive); ``data_ids`` index the sparse stream operand's physical
-    blocks; ``dep_ids`` are contraction-dimension block ids; ``other_ids``
-    carry the output block's other coordinate (SSD/SDS) or the second
-    operand's physical block (DSS). ``visited_key`` records which output
-    blocks received no work (they are zeroed after the kernel); it is a
-    static tuple so the schedule stays hashable jit-side.
+    ``out_ids`` is PER STEP (length ``n_steps``, non-decreasing); the
+    sub-item arrays (``dep_ids/data_ids/other_ids/flags``) have length
+    ``n_steps * group``. ``data_ids`` index the sparse stream operand's
+    physical blocks; ``dep_ids`` are contraction-dimension block ids
+    (SSD/SDS) or the second operand's physical blocks (DSS); ``other_ids``
+    carry the output block's other coordinate. ``flags`` mask group-padding
+    duplicates. ``visited_key`` records output blocks with no work (zeroed
+    after the kernel); a static tuple so the schedule hashes jit-side.
+    ``total`` counts REAL work items (for flop accounting).
     """
 
-    out_ids: jax.Array  # (total,) int32, non-decreasing
-    dep_ids: jax.Array  # (total,) int32
-    data_ids: jax.Array  # (total,) int32
-    other_ids: jax.Array  # (total,) int32
+    out_ids: jax.Array  # (n_steps,) int32, non-decreasing
+    dep_ids: jax.Array  # (n_steps * group,) int32
+    data_ids: jax.Array  # (n_steps * group,) int32
+    other_ids: jax.Array  # (n_steps * group,) int32
+    flags: jax.Array  # (n_steps * group,) int32 in {0, 1}
     kind: str  # "ssd" | "sds" | "dss"
-    total: int
+    total: int  # real (unpadded) work items
+    group: int
+    n_steps: int
     all_visited: bool
     visited_key: Optional[Tuple[int, ...]]  # unvisited output-block ids
 
@@ -120,12 +131,61 @@ def _ragged_positions(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
     ).astype(np.int32)
 
 
+def _batch_items(
+    out_ids: np.ndarray,
+    sub_arrays,
+    group: int,
+    kind: str,
+    total: int,
+    unvisited: Tuple[int, ...],
+) -> FlatSchedule:
+    """Group consecutive same-output items ``group`` per step; pad each
+    output block's run with flag-0 duplicates of its last item."""
+    if total == 0:
+        z = jnp.zeros((0,), jnp.int32)
+        return FlatSchedule(
+            out_ids=z, dep_ids=z, data_ids=z, other_ids=z, flags=z,
+            kind=kind, total=0, group=group, n_steps=0,
+            all_visited=not unvisited, visited_key=unvisited or None,
+        )
+    uniq, counts = np.unique(out_ids, return_counts=True)
+    # Adaptive group: batching only pays when output blocks average at
+    # least ~group items; otherwise the padding duplicates dominate
+    # (e.g. DSS intersections at moderate density average 1 item/tile).
+    avg = total / max(len(uniq), 1)
+    group = max(1, min(group, int(round(avg))))
+    padded = (-(-counts // group)) * group
+    total_p = int(padded.sum())
+    cum_items = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    cum_p = np.concatenate([[0], np.cumsum(padded)[:-1]])
+    local = np.arange(total_p, dtype=np.int64) - np.repeat(cum_p, padded)
+    orig_local = np.minimum(local, np.repeat(counts, padded) - 1)
+    item = np.repeat(cum_items, padded) + orig_local
+    flags = (local < np.repeat(counts, padded)).astype(np.int32)
+    step_out = np.repeat(uniq, padded // group).astype(np.int32)
+    dep, data, other = (np.asarray(s)[item].astype(np.int32) for s in sub_arrays)
+    return FlatSchedule(
+        out_ids=jnp.asarray(step_out),
+        dep_ids=jnp.asarray(dep),
+        data_ids=jnp.asarray(data),
+        other_ids=jnp.asarray(other),
+        flags=jnp.asarray(flags),
+        kind=kind,
+        total=total,
+        group=group,
+        n_steps=len(step_out),
+        all_visited=not unvisited,
+        visited_key=unvisited or None,
+    )
+
+
 def plan_sparse_out(
     stream: BlockSparseMatrix,
     topology: BlockSparseMatrix,
     *,
     kind: str,  # "ssd" (stream = A, grouped by out row) | "sds" (stream = B)
     stream_transposed: bool,
+    group: int = DEFAULT_GROUP,
 ) -> FlatSchedule:
     """Exact schedule for a sparse-output matmul with one sparse operand.
 
@@ -149,15 +209,13 @@ def plan_sparse_out(
     out_ids = np.repeat(np.arange(len(group_of), dtype=np.int32), counts)
     pos = _ragged_positions(offs[group_of], counts)
     unvisited = tuple(int(i) for i in np.nonzero(counts == 0)[0])
-    return FlatSchedule(
-        out_ids=jnp.asarray(out_ids),
-        dep_ids=jnp.asarray(dep[pos]),
-        data_ids=jnp.asarray(data[pos]),
-        other_ids=jnp.asarray(other_of[out_ids].astype(np.int32)),
-        kind=kind,
-        total=total,
-        all_visited=not unvisited,
-        visited_key=unvisited or None,
+    return _batch_items(
+        out_ids,
+        (dep[pos], data[pos], other_of[out_ids]),
+        group,
+        kind,
+        total,
+        unvisited,
     )
 
 
@@ -167,6 +225,7 @@ def plan_dss(
     *,
     transpose_a: bool = False,
     transpose_b: bool = False,
+    group: int = DEFAULT_GROUP,
 ) -> FlatSchedule:
     """Exact intersection schedule for dense = sparse @ sparse.
 
@@ -208,15 +267,13 @@ def plan_dss(
     visited = np.zeros((n_tiles,), bool)
     visited[out_ids] = True
     unvisited = tuple(int(i) for i in np.nonzero(~visited)[0])
-    return FlatSchedule(
-        out_ids=jnp.asarray(out_ids),
-        dep_ids=jnp.asarray(b_ids),  # second operand's physical block
-        data_ids=jnp.asarray(a_ids),
-        other_ids=jnp.asarray(np.zeros_like(out_ids)),
-        kind="dss",
-        total=int(out_ids.shape[0]),
-        all_visited=not unvisited,
-        visited_key=unvisited or None,
+    return _batch_items(
+        out_ids,
+        (b_ids, a_ids, np.zeros_like(out_ids)),  # dep = B blocks, data = A
+        group,
+        "dss",
+        int(out_ids.shape[0]),
+        unvisited,
     )
 
 
@@ -226,39 +283,47 @@ def plan_dss(
 
 
 def _flat_kernel(
-    out_ids,  # scalar prefetch (total,)
-    dep_ids,
+    out_ids,  # scalar prefetch: (n_steps,)
+    dep_ids,  # (n_steps * group,)
     data_ids,
     other_ids,
-    block_ref,  # (1, bs, bs) stream operand block
-    panel_ref,  # (bs, bs) dense tile [ssd/sds] or (1, bs, bs) sparse block [dss]
-    out_ref,
-    acc_ref,  # (bs, bs) fp32
-    *,
-    total: int,
+    flags,
+    *refs,  # group block refs, group panel refs, out_ref, acc_ref
+    group: int,
+    n_steps: int,
     dims,
     block_first: bool,
     panel_is_block: bool,
     out_is_block: bool,
 ):
     del dep_ids, data_ids, other_ids
+    blocks = refs[:group]
+    panels = refs[group : 2 * group]
+    out_ref = refs[2 * group]
+    acc_ref = refs[2 * group + 1]
     j = pl.program_id(0)
     cur = out_ids[j]
     prev = out_ids[jnp.maximum(j - 1, 0)]
-    nxt = out_ids[jnp.minimum(j + 1, total - 1)]
+    nxt = out_ids[jnp.minimum(j + 1, n_steps - 1)]
     is_first = jnp.logical_or(j == 0, prev != cur)
-    is_last = jnp.logical_or(j == total - 1, nxt != cur)
+    is_last = jnp.logical_or(j == n_steps - 1, nxt != cur)
 
     @pl.when(is_first)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    block = block_ref[0]
-    panel = panel_ref[0] if panel_is_block else panel_ref[:]
-    lhs, rhs = (block, panel) if block_first else (panel, block)
-    acc_ref[:] += jax.lax.dot_general(
-        lhs, rhs, dims, preferred_element_type=jnp.float32
-    )
+    accum = jnp.zeros(acc_ref.shape, jnp.float32)
+    for g in range(group):
+        block = blocks[g][0]
+        panel = panels[g][0] if panel_is_block else panels[g][:]
+        lhs, rhs = (block, panel) if block_first else (panel, block)
+        prod = jax.lax.dot_general(
+            lhs, rhs, dims, preferred_element_type=jnp.float32
+        )
+        accum = accum + jnp.where(
+            flags[j * group + g] > 0, prod, jnp.zeros_like(prod)
+        )
+    acc_ref[:] += accum
 
     @pl.when(is_last)
     def _():
@@ -274,12 +339,82 @@ def _zero_unvisited_blocks(data, schedule: FlatSchedule):
     return data.at[jnp.asarray(schedule.visited_key, dtype=jnp.int32)].set(0)
 
 
+def _flat_call(
+    *,
+    schedule: FlatSchedule,
+    stream_data,
+    panel_operand,  # dense panel array OR sparse block data (dss)
+    panel_index,  # (k, other) -> dense block index; None for dss
+    out_shape,
+    out_block,
+    out_index,
+    dims,
+    block_first: bool,
+    panel_is_block: bool,
+    out_is_block: bool,
+    bs: int,
+    interpret: bool,
+):
+    group = schedule.group
+
+    def block_map(g):
+        return lambda j, out, dep, dat, oth, fl: (dat[j * group + g], 0, 0)
+
+    def panel_map(g):
+        if panel_is_block:
+            return lambda j, out, dep, dat, oth, fl: (dep[j * group + g], 0, 0)
+        return lambda j, out, dep, dat, oth, fl: panel_index(
+            dep[j * group + g], oth[j * group + g]
+        )
+
+    in_specs = [
+        pl.BlockSpec((1, bs, bs), block_map(g)) for g in range(group)
+    ] + [
+        pl.BlockSpec(
+            (1, bs, bs) if panel_is_block else (bs, bs), panel_map(g)
+        )
+        for g in range(group)
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(schedule.n_steps,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(out_block, out_index),
+        scratch_shapes=[
+            pltpu.VMEM((bs, bs), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _flat_kernel,
+            group=group,
+            n_steps=schedule.n_steps,
+            dims=dims,
+            block_first=block_first,
+            panel_is_block=panel_is_block,
+            out_is_block=out_is_block,
+        ),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=compiler_params(("arbitrary",)),
+        interpret=interpret,
+    )(
+        schedule.out_ids,
+        schedule.dep_ids,
+        schedule.data_ids,
+        schedule.other_ids,
+        schedule.flags,
+        *([stream_data] * group),
+        *([panel_operand] * group),
+    )
+
+
 def _flat_sparse_out_call(
     *,
     schedule: FlatSchedule,
     stream_data,
     panel,
-    panel_index,  # (k, other) -> dense block index tuple
+    panel_index,
     topology: BlockSparseMatrix,
     dims,
     block_first: bool,
@@ -288,42 +423,22 @@ def _flat_sparse_out_call(
 ):
     bs = topology.block_size
     nnz_c = topology.nnz_blocks
-    if nnz_c == 0 or schedule.total == 0:
+    if nnz_c == 0 or schedule.n_steps == 0:
         return topology.with_data(jnp.zeros((nnz_c, bs, bs), out_dtype))
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(schedule.total,),
-        in_specs=[
-            pl.BlockSpec((1, bs, bs), lambda j, out, dep, dat, oth: (dat[j], 0, 0)),
-            pl.BlockSpec(
-                (bs, bs),
-                lambda j, out, dep, dat, oth: panel_index(dep[j], oth[j]),
-            ),
-        ],
-        out_specs=pl.BlockSpec((1, bs, bs), lambda j, out, dep, dat, oth: (out[j], 0, 0)),
-        scratch_shapes=[pltpu.VMEM((bs, bs), jnp.float32)],
-    )
-    data = pl.pallas_call(
-        functools.partial(
-            _flat_kernel,
-            total=schedule.total,
-            dims=dims,
-            block_first=block_first,
-            panel_is_block=False,
-            out_is_block=True,
-        ),
-        grid_spec=grid_spec,
+    data = _flat_call(
+        schedule=schedule,
+        stream_data=stream_data,
+        panel_operand=panel,
+        panel_index=panel_index,
         out_shape=jax.ShapeDtypeStruct((nnz_c, bs, bs), out_dtype),
-        compiler_params=compiler_params(("arbitrary",)),
+        out_block=(1, bs, bs),
+        out_index=lambda j, out, dep, dat, oth, fl: (out[j], 0, 0),
+        dims=dims,
+        block_first=block_first,
+        panel_is_block=False,
+        out_is_block=True,
+        bs=bs,
         interpret=interpret,
-    )(
-        schedule.out_ids,
-        schedule.dep_ids,
-        schedule.data_ids,
-        schedule.other_ids,
-        stream_data,
-        panel,
     )
     return topology.with_data(_zero_unvisited_blocks(data, schedule))
 
@@ -432,42 +547,26 @@ def dss_flat(
 
     n_blocks = n_dim // bs
     m_blocks = m_dim // bs
-    if schedule.total == 0:
+    if schedule.n_steps == 0:
         return jnp.zeros((m_dim, n_dim), out_dtype)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(schedule.total,),
-        in_specs=[
-            pl.BlockSpec((1, bs, bs), lambda j, out, dep, dat, oth: (dat[j], 0, 0)),
-            pl.BlockSpec((1, bs, bs), lambda j, out, dep, dat, oth: (dep[j], 0, 0)),
-        ],
-        out_specs=pl.BlockSpec(
-            (bs, bs),
-            lambda j, out, dep, dat, oth: (out[j] // n_blocks, out[j] % n_blocks),
-        ),
-        scratch_shapes=[pltpu.VMEM((bs, bs), jnp.float32)],
-    )
-    out = pl.pallas_call(
-        functools.partial(
-            _flat_kernel,
-            total=schedule.total,
-            dims=dot_dims(transpose_a, transpose_b),
-            block_first=True,
-            panel_is_block=True,
-            out_is_block=False,
-        ),
-        grid_spec=grid_spec,
+    out = _flat_call(
+        schedule=schedule,
+        stream_data=a.data,
+        panel_operand=b.data,
+        panel_index=None,
         out_shape=jax.ShapeDtypeStruct((m_dim, n_dim), out_dtype),
-        compiler_params=compiler_params(("arbitrary",)),
+        out_block=(bs, bs),
+        out_index=lambda j, out_, dep, dat, oth, fl: (
+            out_[j] // n_blocks,
+            out_[j] % n_blocks,
+        ),
+        dims=dot_dims(transpose_a, transpose_b),
+        block_first=True,
+        panel_is_block=True,
+        out_is_block=False,
+        bs=bs,
         interpret=interpret,
-    )(
-        schedule.out_ids,
-        schedule.dep_ids,
-        schedule.data_ids,
-        schedule.other_ids,
-        a.data,
-        b.data,
     )
     if not schedule.all_visited:
         mask = np.ones((m_blocks, n_blocks), bool)
