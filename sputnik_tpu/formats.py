@@ -771,7 +771,9 @@ class SellMatrix:
         128-row tile has near-uniform lengths and the per-tile slot bounds
         (``tile_widths``) are tight. The op layer un/permutes at the
         boundaries; heavy-tailed row distributions (magnitude pruning) gain
-        the most.
+        the most. The un/permute is a row gather per op — at very large
+        row counts with already-small widths (<= ~16 slots, where kernels
+        unroll statically anyway) leave sorting off.
         """
         for x, what in ((m.offsets, "offsets"), (m.indices, "indices"), (m.values, "values")):
             if isinstance(x, jax.core.Tracer):

@@ -67,18 +67,32 @@ def _unpermute_rows(out: jax.Array, a: SellMatrix) -> jax.Array:
     return jnp.take(out, jnp.argsort(a.row_perm), axis=0)
 
 
-def _reconstruct_panel(vals_ref, cols_ref, w_bound, chunk):
+# Below this width a static python unroll beats the dynamic-bound loop:
+# Mosaic's while-loop management costs more than the skipped slot work
+# (measured 4x at 1M rows / W=7; crossover ~16 slots on v5e).
+_UNROLL_MAX_WIDTH = 16
+
+
+def _reconstruct_panel(vals_ref, cols_ref, w_bound, chunk, width):
     """Densify one (chunk, row-tile) panel S^T from SELL slots.
 
-    One broadcast-compare-select per slot; the loop runs to the PER-TILE
-    slot bound (the SortedRowSwizzle dividend: ragged rows only cost their
-    own tile), not the global width.
+    One broadcast-compare-select per slot. Small static widths unroll
+    fully; larger ones run a dynamic loop to the PER-TILE slot bound (the
+    SortedRowSwizzle dividend: ragged rows only cost their own tile).
     """
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (chunk, _TR), 0)
 
+    if width <= _UNROLL_MAX_WIDTH:
+        s = jnp.zeros((chunk, _TR), jnp.float32)
+        for w in range(width):
+            cols_row = cols_ref[w, :][None, :]
+            vals_row = vals_ref[w, :][None, :].astype(jnp.float32)
+            s = s + jnp.where(iota_c == cols_row, vals_row, 0.0)
+        return s
+
     def body(w, s):
-        cols_row = cols_ref[0, w, :][None, :]  # (1, TR): sublane broadcast
-        vals_row = vals_ref[0, w, :][None, :].astype(jnp.float32)
+        cols_row = cols_ref[w, :][None, :]  # (1, TR): sublane broadcast
+        vals_row = vals_ref[w, :][None, :].astype(jnp.float32)
         return s + jnp.where(iota_c == cols_row, vals_row, 0.0)
 
     return jax.lax.fori_loop(
@@ -86,7 +100,7 @@ def _reconstruct_panel(vals_ref, cols_ref, w_bound, chunk):
     )
 
 
-def _spmm_kernel(tw_ref, vals_ref, cols_ref, b_ref, out_ref, acc_ref, st_ref, *, n_chunks, chunk):
+def _spmm_kernel(tw_ref, vals_ref, cols_ref, b_ref, out_ref, acc_ref, st_ref, *, n_chunks, chunk, width):
     r = pl.program_id(0)
     kc = pl.program_id(2)
 
@@ -94,7 +108,7 @@ def _spmm_kernel(tw_ref, vals_ref, cols_ref, b_ref, out_ref, acc_ref, st_ref, *,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    st_ref[:] = _reconstruct_panel(vals_ref, cols_ref, tw_ref[kc, r], chunk)
+    st_ref[:] = _reconstruct_panel(vals_ref.at[0], cols_ref.at[0], tw_ref[kc, r], chunk, width)
     # S^T is (chunk, TR): contract its chunk axis with B's row axis.
     acc_ref[:] += jax.lax.dot_general(
         st_ref[:],
@@ -106,6 +120,41 @@ def _spmm_kernel(tw_ref, vals_ref, cols_ref, b_ref, out_ref, acc_ref, st_ref, *,
     @pl.when(kc == n_chunks - 1)
     def _():
         out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _spmm_tall_kernel(tw_ref, vals_ref, cols_ref, b_ref, out_ref, *, n_chunks, chunk, width):
+    """One grid step per row tile; ALL chunks fused in-kernel with B
+    resident in VMEM. For tall-skinny matrices (rows >> cols) the per-step
+    grid cost dominates the chunked kernel — fusing the chunk loop trades
+    grid steps for a static in-kernel loop (~4x at 1M rows, 0.2% nnz)."""
+    r = pl.program_id(0)
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for kc in range(n_chunks):
+        s_t = _reconstruct_panel(
+            vals_ref.at[kc], cols_ref.at[kc], tw_ref[kc, r], chunk, width
+        )
+        acc = acc + jax.lax.dot_general(
+            s_t,
+            b_ref[kc * chunk : (kc + 1) * chunk, :].astype(jnp.float32),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+
+# The tall variant keeps B and all chunk slabs in VMEM; gate on sizes.
+_TALL_B_VMEM_LIMIT = 2 << 20  # bytes
+_TALL_SLAB_VMEM_LIMIT = 1 << 20
+
+
+def _use_tall(a: SellMatrix, n: int) -> bool:
+    b_bytes = a.n_chunks * a.chunk * n * 4
+    slab_bytes = 2 * a.n_chunks * a.width * _TR * 4
+    return (
+        a.rows_padded // _TR >= 2 * a.n_chunks
+        and b_bytes <= _TALL_B_VMEM_LIMIT
+        and slab_bytes <= _TALL_SLAB_VMEM_LIMIT
+    )
 
 
 def spmm(
@@ -125,6 +174,31 @@ def spmm(
     k_padded = a.n_chunks * a.chunk
     if b.shape[0] < k_padded:  # pad B to whole chunks (sentinel-safe)
         b = jnp.pad(b, ((0, k_padded - b.shape[0]), (0, 0)))
+    if _use_tall(a, n):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(a.rows_padded // _TR,),
+            in_specs=[
+                pl.BlockSpec(
+                    (a.n_chunks, a.width, _TR), lambda r, tw: (0, 0, r)
+                ),
+                pl.BlockSpec(
+                    (a.n_chunks, a.width, _TR), lambda r, tw: (0, 0, r)
+                ),
+                pl.BlockSpec((k_padded, n), lambda r, tw: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((_TR, n), lambda r, tw: (r, 0)),
+        )
+        out = pl.pallas_call(
+            functools.partial(
+                _spmm_tall_kernel, n_chunks=a.n_chunks, chunk=a.chunk, width=a.width
+            ),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((a.rows_padded, n), out_dtype),
+            compiler_params=compiler_params(("parallel",)),
+            interpret=interpret,
+        )(_tile_widths(a), a.values, a.indices, b)
+        return _unpermute_rows(out, a)[: a.rows]
     bn = min(n, n_tile)
     if n % bn:
         bn = n  # odd widths: single tile (keeps the index math exact)
@@ -144,7 +218,7 @@ def spmm(
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_spmm_kernel, n_chunks=a.n_chunks, chunk=a.chunk),
+        functools.partial(_spmm_kernel, n_chunks=a.n_chunks, chunk=a.chunk, width=a.width),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((a.rows_padded, n), out_dtype),
         compiler_params=compiler_params(("parallel", "parallel", "arbitrary")),
@@ -154,7 +228,7 @@ def spmm(
     return out[: a.rows]
 
 
-def _spmm_t_kernel(tw_ref, vals_ref, cols_ref, x_ref, out_ref, acc_ref, *, n_rowtiles, chunk):
+def _spmm_t_kernel(tw_ref, vals_ref, cols_ref, x_ref, out_ref, acc_ref, *, n_rowtiles, chunk, width):
     kc = pl.program_id(0)
     rt = pl.program_id(2)
 
@@ -162,7 +236,7 @@ def _spmm_t_kernel(tw_ref, vals_ref, cols_ref, x_ref, out_ref, acc_ref, *, n_row
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    s_t = _reconstruct_panel(vals_ref, cols_ref, tw_ref[kc, rt], chunk)
+    s_t = _reconstruct_panel(vals_ref.at[0], cols_ref.at[0], tw_ref[kc, rt], chunk, width)
     # S^T is (chunk, rows-tile): contract the row axis with X's rows.
     acc_ref[:] += jax.lax.dot_general(
         s_t,
@@ -214,7 +288,7 @@ def spmm_t(
         scratch_shapes=[pltpu.VMEM((a.chunk, bn), jnp.float32)],
     )
     out = pl.pallas_call(
-        functools.partial(_spmm_t_kernel, n_rowtiles=n_rowtiles, chunk=a.chunk),
+        functools.partial(_spmm_t_kernel, n_rowtiles=n_rowtiles, chunk=a.chunk, width=a.width),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((a.n_chunks * a.chunk, n), out_dtype),
         compiler_params=compiler_params(("parallel", "parallel", "arbitrary")),
