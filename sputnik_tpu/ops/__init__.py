@@ -18,6 +18,7 @@ from sputnik_tpu.ops import registry
 from sputnik_tpu.ops.autodiff import make_differentiable, grad, value_and_grad
 from sputnik_tpu.ops.softmax import bsr_softmax
 from sputnik_tpu.ops import csr
+from sputnik_tpu.ops.autotune import autotune, benchmark_variants
 
 _AD = make_differentiable(_matmul_module)
 
@@ -74,4 +75,6 @@ __all__ = [
     "value_and_grad",
     "bsr_softmax",
     "csr",
+    "autotune",
+    "benchmark_variants",
 ]

@@ -194,3 +194,42 @@ def test_schedule_matches_masked_kernel(rng):
         np.asarray(masked.data, np.float32),
         atol=1e-5,
     )
+
+
+def test_autotune_picks_a_variant(rng):
+    from sputnik_tpu.ops import autotune, benchmark_variants
+
+    m = k = n = 512
+    a = _mk(rng, m, k, 0.25, False)
+    b = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32))
+    timings = benchmark_variants("dsd", a, b, chain=2, runs=1)
+    assert timings, "no variant timed"
+    best = autotune("dsd", a, b)
+    assert best in timings
+    # cached second call
+    assert autotune("dsd", a, b) == best
+    out = ops.matmul_dsd(a, b, variant=best)
+    expected = testing.dense_oracle_matmul(np.asarray(a.to_dense()), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(out, np.float32), expected, atol=ATOL)
+
+
+def test_dss_no_k_limit(rng):
+    """The reference's DSS caps k at 32768 (uint8 smem offsets,
+    index_merge.h:102-114); the flat merge has no such limit."""
+    bs = BS
+    k = 40960  # > 32768
+    kb = k // bs
+    # A: one row of 3 blocks spread across the wide k; B: matching blocks.
+    a = testing.bsr_from_blocks(
+        bs, k, [0, 0, 0], [0, kb // 2, kb - 1],
+        np.stack([np.full((bs, bs), 0.01, np.float32)] * 3),
+    )
+    b = testing.bsr_from_blocks(
+        k, bs, [0, kb // 2, kb - 1], [0, 0, 0],
+        np.stack([np.full((bs, bs), 0.02, np.float32)] * 3),
+    )
+    out = ops.matmul_dss(a, b, variant="pallas_flat_schedule")
+    expected = testing.dense_oracle_matmul(
+        np.asarray(a.to_dense()), np.asarray(b.to_dense())
+    )
+    np.testing.assert_allclose(np.asarray(out, np.float32), expected, atol=ATOL)
