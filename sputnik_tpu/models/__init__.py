@@ -10,6 +10,7 @@ from sputnik_tpu.models.moe import (
 )
 from sputnik_tpu.models.moe import dropless_moe_forward, dropless_topology
 from sputnik_tpu.models.attention import (
+    flash_block_attention,
     band_topology,
     causal_block_topology,
     block_sparse_attention,
@@ -34,6 +35,7 @@ __all__ = [
     "moe_loss",
     "dropless_moe_forward",
     "dropless_topology",
+    "flash_block_attention",
     "band_topology",
     "causal_block_topology",
     "block_sparse_attention",

@@ -1,0 +1,111 @@
+"""Fused block-sparse flash attention vs the unfused SDD->softmax->DSD chain."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sputnik_tpu.kernels.flash_attention import flash_block_attention
+from sputnik_tpu.models import attention as attn
+from sputnik_tpu.utils import testing
+
+
+def _qkv(rng, t, dh, tk=None):
+    tk = tk or t
+    q = jnp.asarray(rng.standard_normal((t, dh)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((tk, dh)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((tk, dh)).astype(np.float32))
+    return q, k, v
+
+
+@pytest.mark.parametrize("topo_kind", ["band", "causal", "random", "unordered"])
+def test_matches_unfused(rng, topo_kind):
+    t, dh = 512, 128
+    if topo_kind == "band":
+        topo = attn.band_topology(t, 2, 128, dtype=jnp.float32)
+    elif topo_kind == "causal":
+        topo = attn.causal_block_topology(t, 128, dtype=jnp.float32)
+    else:
+        topo = testing.random_bsr(
+            rng, t, t, t * t // 3, 128, unordered=(topo_kind == "unordered")
+        )
+    q, k, v = _qkv(rng, t, dh)
+    fused = flash_block_attention(q, k, v, topo)
+    unfused = attn.block_sparse_attention(q, k, v, topo)
+    np.testing.assert_allclose(
+        np.asarray(fused, np.float32), np.asarray(unfused, np.float32),
+        atol=1e-3,
+    )
+
+
+def test_causal_matches_unfused(rng):
+    t, dh = 512, 128
+    topo = attn.causal_block_topology(t, 128, window_blocks=3, dtype=jnp.float32)
+    q, k, v = _qkv(rng, t, dh)
+    fused = flash_block_attention(q, k, v, topo, causal=True)
+    unfused = attn.block_sparse_attention(q, k, v, topo, causal=True)
+    np.testing.assert_allclose(
+        np.asarray(fused, np.float32), np.asarray(unfused, np.float32),
+        atol=1e-3,
+    )
+
+
+def test_rectangular_kv(rng):
+    """Cross-attention shape: more keys than queries."""
+    t, tk, dh = 256, 512, 128
+    topo = testing.random_bsr(rng, t, tk, t * tk // 3, 128)
+    q, k, v = _qkv(rng, t, dh, tk)
+    fused = flash_block_attention(q, k, v, topo)
+    unfused = attn.block_sparse_attention(q, k, v, topo)
+    np.testing.assert_allclose(
+        np.asarray(fused, np.float32), np.asarray(unfused, np.float32),
+        atol=1e-3,
+    )
+
+
+def test_empty_query_rows_zeroed():
+    t, dh = 384, 128
+    ones = np.ones((128, 128), np.float32)
+    # only block-row 0 attends; rows 1, 2 have no blocks.
+    topo = testing.bsr_from_blocks(t, t, [0, 0], [0, 2], np.stack([ones, ones]))
+    rng = np.random.default_rng(0)
+    q, k, v = _qkv(rng, t, dh)
+    out = np.asarray(flash_block_attention(q, k, v, topo))
+    assert np.all(out[128:] == 0)
+    assert np.abs(out[:128]).max() > 0
+
+
+def test_grads_match_unfused(rng):
+    t, dh = 256, 128
+    topo = attn.band_topology(t, 2, 128, dtype=jnp.float32)
+    q, k, v = _qkv(rng, t, dh)
+
+    def loss_fused(q_, k_, v_):
+        return jnp.sum(flash_block_attention(q_, k_, v_, topo) ** 2)
+
+    def loss_unfused(q_, k_, v_):
+        return jnp.sum(attn.block_sparse_attention(q_, k_, v_, topo) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    gu = jax.grad(loss_unfused, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gu):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), atol=1e-2
+        )
+
+
+def test_under_jit_and_vmap(rng):
+    t, dh, h = 256, 128, 3
+    topo = attn.band_topology(t, 2, 128, dtype=jnp.float32)
+    q = jnp.asarray(rng.standard_normal((h, t, dh)).astype(np.float32))
+
+    @jax.jit
+    def mh(q_):
+        return jax.vmap(lambda x: flash_block_attention(x, x, x, topo))(q_)
+
+    out = mh(q)
+    ref = attn.block_sparse_attention(q[1], q[1], q[1], topo)
+    np.testing.assert_allclose(
+        np.asarray(out[1], np.float32), np.asarray(ref, np.float32), atol=1e-3
+    )
