@@ -111,11 +111,13 @@ def multihead_block_sparse_attention(
     *,
     causal: bool = False,
     scale: Optional[float] = None,
+    fused: bool = False,
 ) -> jax.Array:
     """(H, T, dh) multi-head wrapper via ``vmap`` — the Pallas kernels batch
     through their batching rule (one extra grid dimension), so all heads
     compile as ONE kernel instead of H unrolled copies."""
     fn = functools.partial(
-        block_sparse_attention, topology=topology, causal=causal, scale=scale
+        block_sparse_attention, topology=topology, causal=causal, scale=scale,
+        fused=fused,
     )
     return jax.vmap(fn)(q, k, v)

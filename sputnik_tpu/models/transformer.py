@@ -48,6 +48,9 @@ class TransformerConfig:
     n_layers: int = 2
     vocab: int = 1024
     dtype: object = jnp.bfloat16
+    # Flash-style fused attention kernel (O(T*dh) memory, faster forward;
+    # backward recomputes through the unfused chain).
+    fused_attention: bool = False
 
     @property
     def d_head(self) -> int:
@@ -104,7 +107,9 @@ def block_forward(
     q = jnp.transpose(qkv[:, 0], (1, 0, 2))  # (H, T, dh)
     k = jnp.transpose(qkv[:, 1], (1, 0, 2))
     v = jnp.transpose(qkv[:, 2], (1, 0, 2))
-    o = attn_lib.multihead_block_sparse_attention(q, k, v, topology, causal=True)
+    o = attn_lib.multihead_block_sparse_attention(
+        q, k, v, topology, causal=True, fused=cfg.fused_attention
+    )
     o = jnp.transpose(o, (1, 0, 2)).reshape(t, d)
     x = x + jnp.dot(o, params["wo"], preferred_element_type=jnp.float32).astype(
         cfg.dtype
