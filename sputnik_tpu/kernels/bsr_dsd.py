@@ -165,7 +165,7 @@ def dsd(
     transpose_a: bool = False,
     transpose_b: bool = False,
     out_dtype=None,
-    n_tile: int = 2048,
+    n_tile: int = 4096,
     interpret: bool | None = None,
 ) -> jax.Array:
     """C[M, N] = op(A_sparse) @ op(B_dense).
@@ -229,7 +229,7 @@ def dds(
     transpose_a: bool = False,
     transpose_b: bool = False,
     out_dtype=None,
-    m_tile: int = 2048,
+    m_tile: int = 4096,
     interpret: bool | None = None,
 ) -> jax.Array:
     """C[M, N] = op(A_dense) @ op(B_sparse).
