@@ -19,6 +19,7 @@ from sputnik_tpu.parallel.attention import (
     sharded_block_sparse_attention,
     partition_topology_rows,
 )
+from sputnik_tpu.parallel.pipeline import pipeline_apply, stack_stage_params
 
 __all__ = [
     "ShardedBlockSparseMatrix",
@@ -35,4 +36,6 @@ __all__ = [
     "sharded_spmm_kshard",
     "sharded_block_sparse_attention",
     "partition_topology_rows",
+    "pipeline_apply",
+    "stack_stage_params",
 ]
