@@ -20,6 +20,11 @@ from sputnik_tpu.parallel.attention import (
     partition_topology_rows,
 )
 from sputnik_tpu.parallel.pipeline import pipeline_apply, stack_stage_params
+from sputnik_tpu.parallel.ring_attention import (
+    RingTopology,
+    partition_topology_ring,
+    ring_block_sparse_attention,
+)
 
 __all__ = [
     "ShardedBlockSparseMatrix",
@@ -38,4 +43,7 @@ __all__ = [
     "partition_topology_rows",
     "pipeline_apply",
     "stack_stage_params",
+    "RingTopology",
+    "partition_topology_ring",
+    "ring_block_sparse_attention",
 ]

@@ -13,9 +13,9 @@ LOCAL — row softmax never crosses shards. K/V move instead of scores:
   * ``kv_replicated=False`` — K/V sequence-sharded; each device
     ``all_gather``s them over ICI before its local chain (XLA pipelines the
     gather against the first SDD steps). For a banded topology the gather
-    is the halo exchange of the survey's design note; a future ring variant
-    (``ppermute`` K/V bands through the ring, accumulating per-band
-    partials) slots in here for contexts too long to gather.
+    is the halo exchange of the survey's design note. For contexts too long
+    to gather at all, use ``parallel/ring_attention.py``: K/V bands
+    ``ppermute`` around the ring with online-softmax merging.
 
 Causal masking composes: ``causal=True`` masks each 128-block on the
 GLOBAL diagonal — the local topology's row ids are offset by the query
