@@ -210,3 +210,42 @@ def test_dense_detour_variants(rng, op):
             np.asarray(a_s.to_dense()), np.asarray(b_s.to_dense())
         )
         _check(out, expected)
+
+
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float32])
+@pytest.mark.parametrize("op", ["dsd", "dds", "sdd", "ssd", "dss"])
+def test_dtype_coverage(rng, op, dtype):
+    """bf16 storage with fp32 accumulation — the bench/production dtype —
+    through every op (the f32 grid above covers the transpose modes)."""
+    m = k = n = 512
+    a_s = _mk_sparse(rng, m, k, 0.25, False, dtype=dtype)
+    b_s = _mk_sparse(rng, k, n, 0.25, False, dtype=dtype)
+    topo = _mk_sparse(rng, m, n, 0.25, False, dtype=dtype)
+    a_d = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32)).astype(dtype)
+    b_d = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32)).astype(dtype)
+
+    if op == "dsd":
+        out = ops.matmul_dsd(a_s, b_d, out_dtype=jnp.float32)
+        exp = testing.dense_oracle_matmul(
+            np.asarray(a_s.to_dense(), np.float32), np.asarray(b_d, np.float32))
+    elif op == "dds":
+        out = ops.matmul_dds(a_d, b_s, out_dtype=jnp.float32)
+        exp = testing.dense_oracle_matmul(
+            np.asarray(a_d, np.float32), np.asarray(b_s.to_dense(), np.float32))
+    elif op == "sdd":
+        out = ops.matmul_sdd(a_d, b_d, topo, out_dtype=jnp.float32).data
+        full = testing.dense_oracle_matmul(
+            np.asarray(a_d, np.float32), np.asarray(b_d, np.float32))
+        exp = np.asarray(reference.extract_blocks(jnp.asarray(full.astype(np.float32)), topo))
+    elif op == "ssd":
+        out = ops.matmul_ssd(a_s, b_d, topo, out_dtype=jnp.float32).data
+        full = testing.dense_oracle_matmul(
+            np.asarray(a_s.to_dense(), np.float32), np.asarray(b_d, np.float32))
+        exp = np.asarray(reference.extract_blocks(jnp.asarray(full.astype(np.float32)), topo))
+    else:  # dss
+        out = ops.matmul_dss(a_s, b_s, out_dtype=jnp.float32)
+        exp = testing.dense_oracle_matmul(
+            np.asarray(a_s.to_dense(), np.float32), np.asarray(b_s.to_dense(), np.float32))
+    # bf16 inputs: relative tolerance scaled to magnitudes (~sqrt(k)).
+    tol = 0.35 if dtype == jnp.bfloat16 else ATOL
+    np.testing.assert_allclose(np.asarray(out, np.float32), exp, atol=tol)
