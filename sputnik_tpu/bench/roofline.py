@@ -190,6 +190,38 @@ def audit(d: int = 2048, density: float = 0.25, dtype_name: str = "bfloat16",
         2 * nnz_e * 4,
         perturb=0,
     )
+
+    # Transposed SELL SpMM (the weight-gradient shape).
+    xg = jnp.asarray(rng.standard_normal((d, bn)).astype(np.float32))
+    from sputnik_tpu.kernels import sell as sell_kernels
+
+    add(
+        "csr_spmm_t(sell)",
+        lambda s_, x_: sell_kernels.spmm_t(s_, x_),
+        (s_mat, xg),
+        2 * nnz_e * bn,
+        nnz_e * (bn + 1) * 4 + d * bn * 4,
+        perturb=1,
+    )
+
+    # Fused flash block-sparse attention (causal banded topology).
+    from sputnik_tpu.models import attention as attn_lib
+
+    ftopo = attn_lib.causal_block_topology(d, 128, window_blocks=8, dtype=dtype)
+    dh = 128
+    qf = jnp.asarray(rng.standard_normal((d, dh)).astype(np.float32)).astype(dtype)
+    f_flops = 4 * ftopo.nnz_blocks * 128 * 128 * dh
+    f_bytes = ftopo.nnz_blocks * 2 * 128 * dh * isz + 2 * d * dh * isz
+    add(
+        "flash_block_attention",
+        lambda q_, k_, v_: attn_lib.flash_block_attention(
+            q_, k_, v_, ftopo, causal=True
+        ),
+        (qf, qf + 0.1, qf - 0.1),
+        f_flops,
+        f_bytes,
+        perturb=0,
+    )
     return rows
 
 
