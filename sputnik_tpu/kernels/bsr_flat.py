@@ -39,7 +39,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -64,8 +63,10 @@ DEFAULT_GROUP = 4  # work items per grid step (measured best on v5e)
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["out_ids", "dep_ids", "data_ids", "other_ids", "flags"],
-    meta_fields=["kind", "total", "group", "n_steps", "all_visited", "visited_key"],
+    data_fields=[
+        "out_ids", "dep_ids", "data_ids", "other_ids", "flags", "unvisited_ids",
+    ],
+    meta_fields=["kind", "total", "group", "n_steps", "all_visited"],
 )
 @dataclasses.dataclass(frozen=True)
 class FlatSchedule:
@@ -77,8 +78,9 @@ class FlatSchedule:
     physical blocks; ``dep_ids`` are contraction-dimension block ids
     (SSD/SDS) or the second operand's physical blocks (DSS); ``other_ids``
     carry the output block's other coordinate. ``flags`` mask group-padding
-    duplicates. ``visited_key`` records output blocks with no work (zeroed
-    after the kernel); a static tuple so the schedule hashes jit-side.
+    duplicates. ``unvisited_ids`` lists output blocks with no work (zeroed
+    after the kernel) — a DATA field: for sparse DSS outputs most tiles are
+    unvisited and a static tuple would be hashed on every trace.
     ``total`` counts REAL work items (for flop accounting).
     """
 
@@ -87,12 +89,12 @@ class FlatSchedule:
     data_ids: jax.Array  # (n_steps * group,) int32
     other_ids: jax.Array  # (n_steps * group,) int32
     flags: jax.Array  # (n_steps * group,) int32 in {0, 1}
+    unvisited_ids: jax.Array  # (n_unvisited,) int32 output-block ids
     kind: str  # "ssd" | "sds" | "dss"
     total: int  # real (unpadded) work items
     group: int
     n_steps: int
     all_visited: bool
-    visited_key: Optional[Tuple[int, ...]]  # unvisited output-block ids
 
 
 def _np(x, what: str) -> np.ndarray:
@@ -137,16 +139,18 @@ def _batch_items(
     group: int,
     kind: str,
     total: int,
-    unvisited: Tuple[int, ...],
+    unvisited: np.ndarray,
 ) -> FlatSchedule:
     """Group consecutive same-output items ``group`` per step; pad each
     output block's run with flag-0 duplicates of its last item."""
+    unvisited = np.asarray(unvisited, np.int32)
     if total == 0:
         z = jnp.zeros((0,), jnp.int32)
         return FlatSchedule(
             out_ids=z, dep_ids=z, data_ids=z, other_ids=z, flags=z,
+            unvisited_ids=jnp.asarray(unvisited),
             kind=kind, total=0, group=group, n_steps=0,
-            all_visited=not unvisited, visited_key=unvisited or None,
+            all_visited=unvisited.size == 0,
         )
     uniq, counts = np.unique(out_ids, return_counts=True)
     # Adaptive group: batching only pays when output blocks average at
@@ -170,12 +174,12 @@ def _batch_items(
         data_ids=jnp.asarray(data),
         other_ids=jnp.asarray(other),
         flags=jnp.asarray(flags),
+        unvisited_ids=jnp.asarray(unvisited),
         kind=kind,
         total=total,
         group=group,
         n_steps=len(step_out),
-        all_visited=not unvisited,
-        visited_key=unvisited or None,
+        all_visited=unvisited.size == 0,
     )
 
 
@@ -208,7 +212,7 @@ def plan_sparse_out(
     total = int(counts.sum())
     out_ids = np.repeat(np.arange(len(group_of), dtype=np.int32), counts)
     pos = _ragged_positions(offs[group_of], counts)
-    unvisited = tuple(int(i) for i in np.nonzero(counts == 0)[0])
+    unvisited = np.nonzero(counts == 0)[0].astype(np.int32)
     return _batch_items(
         out_ids,
         (dep[pos], data[pos], other_of[out_ids]),
@@ -266,7 +270,7 @@ def plan_dss(
     n_tiles = m_blocks * n_blocks
     visited = np.zeros((n_tiles,), bool)
     visited[out_ids] = True
-    unvisited = tuple(int(i) for i in np.nonzero(~visited)[0])
+    unvisited = np.nonzero(~visited)[0].astype(np.int32)
     return _batch_items(
         out_ids,
         (b_ids, a_ids, np.zeros_like(out_ids)),  # dep = B blocks, data = A
@@ -336,7 +340,7 @@ def _flat_kernel(
 def _zero_unvisited_blocks(data, schedule: FlatSchedule):
     if schedule.all_visited:
         return data
-    return data.at[jnp.asarray(schedule.visited_key, dtype=jnp.int32)].set(0)
+    return data.at[schedule.unvisited_ids].set(0)
 
 
 def _flat_call(
@@ -569,9 +573,10 @@ def dss_flat(
         interpret=interpret,
     )
     if not schedule.all_visited:
-        mask = np.ones((m_blocks, n_blocks), bool)
-        uv = np.asarray(schedule.visited_key)
-        mask[uv // n_blocks, uv % n_blocks] = False
-        mask = jnp.asarray(np.repeat(np.repeat(mask, bs, 0), bs, 1))
+        flat = jnp.ones((m_blocks * n_blocks,), jnp.bool_)
+        flat = flat.at[schedule.unvisited_ids].set(False)
+        mask = jnp.repeat(
+            jnp.repeat(flat.reshape(m_blocks, n_blocks), bs, 0), bs, 1
+        )
         out = jnp.where(mask, out, jnp.zeros([], out_dtype))
     return out

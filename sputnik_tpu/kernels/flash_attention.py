@@ -113,6 +113,12 @@ def _kernel(
     m_new = jnp.maximum(m_prev, jnp.max(s_strip, axis=1, keepdims=True))
     corr = jnp.exp(m_prev - m_new)
     p = jnp.exp(s_strip - m_new)  # (bs, group*bs)
+    # Masked entries hold exactly _NEG_INF. While m_new is still _NEG_INF
+    # (a row whose strips so far are fully masked — e.g. causal with all
+    # topology blocks above the diagonal), exp(s - m_new) = exp(0) = 1
+    # would average V into the row instead of leaving it zero; zero those
+    # probabilities explicitly. Real scores cannot approach -1e30.
+    p = jnp.where(s_strip > 0.5 * _NEG_INF, p, 0.0)
     l_ref[:, 0:1] = l_ref[:, 0:1] * corr + jnp.sum(p, axis=1, keepdims=True)
     v_strip = (
         jnp.concatenate([v_refs[g][:] for g in range(group)], axis=0)

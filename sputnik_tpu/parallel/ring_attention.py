@@ -45,8 +45,9 @@ class RingTopology:
 
     ``rows/cols``: (S, S, P) int32 — cell (i, j) holds query-band i's
     blocks over kv-band j, row/col ids rebased into the bands, padded to
-    the global max cell size P (padding slots duplicate slot 0 and are
-    masked via ``valid``). ``valid``: (S, S) int32 real block counts.
+    the global max cell size P (padding slots duplicate the cell's LAST
+    real slot, keeping rows non-decreasing for the DSD stream kernel, and
+    are masked via ``valid``). ``valid``: (S, S) int32 real block counts.
     """
 
     def __init__(self, rows, cols, valid, n_shards, band_blocks, block_size):
@@ -86,6 +87,13 @@ def partition_topology_ring(topology: BlockSparseMatrix, n_shards: int) -> RingT
             valid[i, j] = n
             rows[i, j, :n] = r
             cols[i, j, :n] = c
+            if n:
+                # Pad by duplicating the LAST real slot so the row ids stay
+                # non-decreasing — the DSD stream kernel's contract. Zero
+                # padding would revisit output block-row 0 after the real
+                # rows and overwrite it with the masked (zero) contribution.
+                rows[i, j, n:] = r[-1]
+                cols[i, j, n:] = c[-1]
     return RingTopology(
         jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(valid),
         n_shards, band, topology.block_size,
@@ -118,7 +126,7 @@ def _band_fold(q_l, k_band, v_band, rows, cols, valid, band_blocks, bs, scale, s
     )
     scores = matmul_sdd(q_l, k_band, topo, transpose_b=True)
     sdata = scores.data.astype(jnp.float32) * scale
-    # Mask cell-padding blocks (duplicated slot 0) to -inf.
+    # Mask cell-padding blocks (duplicates of the last real slot) to -inf.
     ok = (jnp.arange(p) < valid)[:, None, None]
     sdata = jnp.where(ok, sdata, _NEG)
     # Band row stats.

@@ -76,6 +76,27 @@ def test_empty_query_rows_zeroed():
     assert np.abs(out[:128]).max() > 0
 
 
+def test_causal_fully_masked_row(rng):
+    """A row whose only topology blocks sit ABOVE the diagonal must come
+    out exactly zero under causal masking (regression: while the running
+    max was still -inf, exp(s - m) = exp(0) = 1 for masked entries and the
+    row got a uniform average of V instead of zeros)."""
+    t, dh = 384, 128
+    ones = np.ones((128, 128), np.float32)
+    # block-row 0 attends only to col 2 (strictly above the diagonal ->
+    # fully masked); rows 1 and 2 have ordinary causal work.
+    topo = testing.bsr_from_blocks(
+        t, t, [0, 1, 1, 2], [2, 0, 1, 2], np.stack([ones] * 4)
+    )
+    q, k, v = _qkv(rng, t, dh)
+    fused = np.asarray(flash_block_attention(q, k, v, topo, causal=True))
+    unfused = np.asarray(
+        attn.block_sparse_attention(q, k, v, topo, causal=True)
+    )
+    assert np.all(fused[:128] == 0)
+    np.testing.assert_allclose(fused, unfused, atol=1e-3)
+
+
 def test_grads_match_unfused(rng):
     t, dh = 256, 128
     topo = attn.band_topology(t, 2, 128, dtype=jnp.float32)

@@ -60,6 +60,29 @@ def test_ring_empty_rows(rng, mesh):
     np.testing.assert_allclose(out, expected, atol=ATOL)
 
 
+@pytest.mark.parametrize("topo_kind", ["causal_blocks", "random"])
+def test_ring_dh128_pallas_path(rng, mesh, topo_kind):
+    """dh=128 passes the DSD 128-alignment gate, so the Pallas stream
+    kernel runs (dh=64 silently falls back to the jnp reference).
+    Regression: zero-padded cell slots used to revisit output block-row 0
+    after the real rows and overwrite it with the masked contribution."""
+    seq, dh = 4 * 256, 128
+    if topo_kind == "causal_blocks":
+        topo = attn.causal_block_topology(seq, 128, window_blocks=4, dtype=jnp.float32)
+    else:
+        topo = testing.random_bsr(rng, seq, seq, seq * seq // 4, 128)
+    ring_topo = partition_topology_ring(topo, 4)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((seq, dh)).astype(np.float32))
+        for _ in range(3)
+    )
+    out = ring_block_sparse_attention(q, k, v, ring_topo, mesh)
+    expected = attn.block_sparse_attention(q, k, v, topo)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(expected, np.float32), atol=ATOL
+    )
+
+
 def test_ring_under_jit(rng, mesh):
     seq, dh = 4 * 128, 64
     topo = attn.band_topology(seq, 2, 128, dtype=jnp.float32)
