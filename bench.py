@@ -110,16 +110,14 @@ def _bench_dsd(d: int, density: float, dtype_name: str = "bfloat16"):
     if dt is None:
         dt, timing = wall, "wall"
 
-    flops = 2 * a.nnz * d
+    from sputnik_tpu.bench.models import dsd_model
+
     itemsize = jnp.dtype(dtype).itemsize
-    # Roofline: every nonzero block forces one read of a (128, bn) B panel
-    # per n-pass; A blocks stream once per n-pass; the output writes once.
-    n_tile = min(2048, d)
-    n_passes = d // n_tile
-    bytes_moved = (
-        a.nnz_blocks * 128 * d * itemsize  # B gathers
-        + a.nnz * itemsize * n_passes  # A stream per n-pass
-        + d * d * itemsize  # output
+    # Reuse-aware roofline (bench.models.dsd_model): streamed B-panel
+    # traffic floored at one full read per panel pass, so the fraction is
+    # a true <= ~1 bound (round 1's no-reuse model reported 1.19-1.55).
+    flops, bytes_moved = dsd_model(
+        nnz=a.nnz, nnz_blocks=a.nnz_blocks, m=d, n=d, k=d, isz=itemsize
     )
     sol_t = max(flops / PEAK_BF16_FLOPS, bytes_moved / PEAK_HBM_BPS)
     return {

@@ -42,8 +42,9 @@ def run(n: int, chain: int = 8, runs: int = 3):
             if nnz == 0:
                 continue
             # Production setting: sorted rows (the SortedRowSwizzle) tighten
-            # the per-tile slot bounds on skewed row-length distributions.
-            s = SellMatrix.from_csr(c, sort_rows=True)
+            # the per-tile slot bounds on skewed row-length distributions;
+            # chunk="auto" narrows the column chunks at very high sparsity.
+            s = SellMatrix.from_csr(c, chunk="auto", sort_rows=True)
             b = jnp.asarray(rng.standard_normal((cols, n)).astype(np.float32))
             try:
                 m = device_time(
@@ -61,6 +62,28 @@ def run(n: int, chain: int = 8, runs: int = 3):
                 })
             except Exception as e:
                 rows_out.append({"op": "spmm", "shape": [rows, cols],
+                                 "sparsity": sp, "error": str(e)[:120]})
+            # Dense-mirror path (static weight matrices): SpMM as one MXU
+            # matmul — at DLMC's small shapes this is the production answer
+            # whenever the matrix is static and dense storage fits; the
+            # registry picks it via CsrMatrix.with_dense_mirror().
+            try:
+                cm = c.with_dense_mirror()
+                m = device_time(
+                    lambda c_, b_: csr_ops.spmm(c_, b_),
+                    cm, b, chain=chain, runs=runs, perturb_index=1,
+                )
+                t = m["time_s"]
+                sol_t = (nnz * (n + 1) * 4 + cols * n * 4) / PEAK_HBM_BPS
+                rows_out.append({
+                    "op": "spmm_mirror", "shape": [rows, cols], "sparsity": sp,
+                    "nnz": nnz, "time_us": t * 1e6,
+                    "gflops": 2 * nnz * n / t / 1e9,
+                    "gnnz_per_s": nnz / t / 1e9,
+                    "frac_sol": sol_t / t, "timing": m["timing"],
+                })
+            except Exception as e:
+                rows_out.append({"op": "spmm_mirror", "shape": [rows, cols],
                                  "sparsity": sp, "error": str(e)[:120]})
             # SDDMM at the same pattern (attention-score shape, k = n).
             q = jnp.asarray(rng.standard_normal((rows, n)).astype(np.float32))

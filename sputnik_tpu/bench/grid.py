@@ -1,0 +1,165 @@
+"""Full benchmark grid: 6 ops x 4 transpose modes x densities.
+
+The reference benchmarks every op over d x density x (ta, tb)
+(``block/dsd/dsd_benchmark.cu:32-46`` and its five siblings); round 1 only
+published DSD NN. This module measures ALL six ops in all four transpose
+modes so NT/TN/TT performance is a tracked artifact, against the shared
+reuse-aware roofline models in ``bench.models``.
+
+Run:  python -m sputnik_tpu.bench.grid [--d 2048] [--densities 0.5 0.25 0.1]
+Writes a markdown table to stdout and JSON to --out (bsr_grid_results.json).
+
+Matrices are square (the reference grid's shape); SSD/SDS/DSS run their
+exact pre-planned schedules (the MatmulEx discipline). Timing is device
+trace through one jitted chain (see docs/PERFORMANCE.md "Methodology").
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+from sputnik_tpu.bench.models import (
+    PEAKS,
+    dsd_model,
+    dss_flat_model,
+    sdd_model,
+    sol_time,
+    sparse_out_flat_model,
+)
+
+MODES = [(False, False), (False, True), (True, False), (True, True)]
+
+
+def _mode_name(ta, tb):
+    return ("T" if ta else "N") + ("T" if tb else "N")
+
+
+def run(d: int, densities, dtype_name="bfloat16", chain=8, runs=3,
+        ops_filter=None, peaks=PEAKS):
+    import jax.numpy as jnp
+    from sputnik_tpu import ops
+    from sputnik_tpu.utils import testing
+    from sputnik_tpu.utils.profiling import device_time
+
+    dtype = jnp.dtype(dtype_name)
+    isz = dtype.itemsize
+    peak_flops = peaks["bf16_flops"] if dtype == jnp.bfloat16 else peaks["f32_flops"]
+    bw = peaks["hbm_bps"]
+    rng = np.random.default_rng(11)
+    rows_out = []
+
+    def add(op, ta, tb, density, fn, args, flops, bytes_moved, perturb):
+        name = f"{op}_{_mode_name(ta, tb)}"
+        try:
+            m = device_time(fn, *args, chain=chain, runs=runs,
+                            perturb_index=perturb)
+            t = m["time_s"]
+            sol = sol_time(flops, bytes_moved, peak_flops=peak_flops,
+                           hbm_bps=bw)
+            rows_out.append({
+                "op": op, "mode": _mode_name(ta, tb), "d": d,
+                "density": density, "time_us": t * 1e6,
+                "gflops": flops / t / 1e9, "frac_sol": sol / t,
+                "bound": "compute" if flops / peak_flops > bytes_moved / bw
+                         else "bandwidth",
+                "timing": m["timing"],
+            })
+            print(f"# {name} density={density}: {t*1e6:.0f} us, "
+                  f"{flops/t/1e9:.0f} GFLOP/s, {sol/t:.2f} SoL",
+                  file=sys.stderr, flush=True)
+        except Exception as e:
+            rows_out.append({"op": op, "mode": _mode_name(ta, tb), "d": d,
+                             "density": density, "error": str(e)[:140]})
+            print(f"# {name} density={density}: ERROR {str(e)[:90]}",
+                  file=sys.stderr, flush=True)
+
+    for density in densities:
+        nnz = int(d * d * density)
+        a = testing.random_bsr(rng, d, d, nnz, 128, dtype=dtype)
+        b = jnp.asarray(
+            rng.standard_normal((d, d)).astype(np.float32)
+        ).astype(dtype)
+        topo = testing.random_bsr(rng, d, d, nnz, 128, dtype=dtype)
+        for ta, tb in MODES:
+            if ops_filter is None or "dsd" in ops_filter:
+                f, by = dsd_model(nnz=a.nnz, nnz_blocks=a.nnz_blocks,
+                                  m=d, n=d, k=d, isz=isz)
+                add("dsd", ta, tb, density,
+                    lambda a_, b_, ta=ta, tb=tb: ops.matmul_dsd(
+                        a_, b_, transpose_a=ta, transpose_b=tb),
+                    (a, b), f, by, perturb=1)
+            if ops_filter is None or "dds" in ops_filter:
+                f, by = dsd_model(nnz=a.nnz, nnz_blocks=a.nnz_blocks,
+                                  m=d, n=d, k=d, isz=isz)
+                add("dds", ta, tb, density,
+                    lambda b_, a_, ta=ta, tb=tb: ops.matmul_dds(
+                        b_, a_, transpose_a=ta, transpose_b=tb),
+                    (b, a), f, by, perturb=0)
+            if ops_filter is None or "sdd" in ops_filter:
+                f, by = sdd_model(nnz=topo.nnz, nnz_blocks=topo.nnz_blocks,
+                                  m=d, n=d, k=d, isz=isz)
+                add("sdd", ta, tb, density,
+                    lambda x_, y_, ta=ta, tb=tb: ops.matmul_sdd(
+                        x_, y_, topo, transpose_a=ta, transpose_b=tb).data,
+                    (b, b), f, by, perturb=0)
+            if ops_filter is None or "ssd" in ops_filter:
+                sched = ops.plan_ssd(a, topo, transpose_a=ta)
+                f, by = sparse_out_flat_model(
+                    total_items=sched.total, nnz_out=topo.nnz, isz=isz)
+                add("ssd", ta, tb, density,
+                    lambda a_, b_, ta=ta, tb=tb, s=sched: ops.matmul_ssd(
+                        a_, b_, topo, transpose_a=ta, transpose_b=tb,
+                        schedule=s).data,
+                    (a, b), f, by, perturb=1)
+            if ops_filter is None or "sds" in ops_filter:
+                sched = ops.plan_sds(a, topo, transpose_b=tb)
+                f, by = sparse_out_flat_model(
+                    total_items=sched.total, nnz_out=topo.nnz, isz=isz)
+                add("sds", ta, tb, density,
+                    lambda b_, a_, ta=ta, tb=tb, s=sched: ops.matmul_sds(
+                        b_, a_, topo, transpose_a=ta, transpose_b=tb,
+                        schedule=s).data,
+                    (b, a), f, by, perturb=0)
+            if ops_filter is None or "dss" in ops_filter:
+                sched = ops.plan_dss(a, topo, transpose_a=ta, transpose_b=tb)
+                f, by = dss_flat_model(total_items=sched.total, m=d, n=d,
+                                       isz=isz)
+                add("dss", ta, tb, density,
+                    lambda a_, b_, ta=ta, tb=tb, s=sched: ops.matmul_dss(
+                        a_, b_, transpose_a=ta, transpose_b=tb, schedule=s),
+                    (a, topo), f, by, perturb=0)
+    return rows_out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--d", type=int, default=2048)
+    ap.add_argument("--densities", type=float, nargs="+",
+                    default=[0.5, 0.25, 0.1])
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--ops", nargs="+", default=None,
+                    help="subset of dsd dds sdd ssd sds dss")
+    ap.add_argument("--out", default="bsr_grid_results.json")
+    args = ap.parse_args()
+    rows = run(args.d, args.densities, args.dtype, ops_filter=args.ops)
+    print("| op | mode | density | time (us) | GFLOP/s | frac SoL |")
+    print("|---|---|---|---|---|---|")
+    for r in rows:
+        if "error" in r:
+            print(f"| {r['op']} | {r['mode']} | {r['density']} | "
+                  f"ERROR {r['error'][:60]} | | |")
+        else:
+            print(f"| {r['op']} | {r['mode']} | {r['density']} | "
+                  f"{r['time_us']:.0f} | {r['gflops']:.0f} | "
+                  f"{r['frac_sol']:.2f} |")
+    with open(args.out, "w") as f:
+        json.dump(rows, f, indent=2)
+    print(f"\n(written to {args.out})", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+"""Shared analytic roofline models for the BSR ops.
+
+One place for the flops / bytes accounting used by ``bench.py``,
+``bench/roofline.py`` and ``bench/grid.py``, so every published fraction
+measures against the SAME speed-of-light definition.
+
+Byte models are REUSE-AWARE: the streamed dense-operand traffic is floored
+at "each distinct tile read once per panel pass" (the compulsory misses —
+what a perfect VMEM cache would pay). Without the floor, dense metadata
+regimes report fractions > 1 (the round-1 audit measured 1.19-1.55 on DSD)
+and the >= 0.8 target stops being falsifiable. With it, sol_t is a true
+lower bound: ``frac_sol = sol_t / t <= ~1``.
+
+Reference accounting being mirrored: FLOPS counters in
+``block/dsd/dsd_benchmark.cu:113-117`` (2 * nnz * N) and siblings; the
+sdd benchmark's apparent block^2 overcount (``sdd_benchmark.cu:107-110``)
+is NOT replicated (SURVEY.md section 6 flags it).
+"""
+
+from __future__ import annotations
+
+PEAKS = {"bf16_flops": 197e12, "f32_flops": 49e12, "hbm_bps": 819e9}
+
+
+def dsd_model(*, nnz: int, nnz_blocks: int, m: int, n: int, k: int,
+              isz: int, bs: int = 128, n_tile: int = 4096):
+    """dense[M,N] = sparse[M,K] @ dense[K,N] (or any transpose thereof).
+
+    Per nonzero block the kernel gathers one (bs, bn) panel of the dense
+    operand; the reuse floor is the whole dense operand once per panel
+    pass (k/bs distinct panel tiles — what a perfect cache pays).
+    """
+    flops = 2 * nnz * n
+    bn = min(n_tile, n)
+    n_passes = -(-n // bn)
+    per_pass_stream = nnz_blocks * bs * bn * isz
+    per_pass_floor = k * bn * isz  # every distinct (bs, bn) tile once
+    bytes_moved = (
+        min(per_pass_stream, max(per_pass_floor, bs * bn * isz)) * n_passes
+        + nnz * isz * n_passes  # sparse blocks stream once per pass
+        + m * n * isz  # output
+    )
+    return flops, bytes_moved
+
+
+def sdd_model(*, nnz: int, nnz_blocks: int, m: int, n: int, k: int,
+              isz: int, bs: int = 128):
+    """sparse_out = dense @ dense at the output topology: per output block,
+    one (bs, K) strip of each input streams in; the reuse floor is each
+    input matrix read once (a perfect cache re-serves repeated block-rows /
+    block-columns of the inputs)."""
+    flops = 2 * nnz * k
+    stream_a = min(nnz_blocks * bs * k, m * k) * isz
+    stream_b = min(nnz_blocks * bs * k, n * k) * isz
+    return flops, stream_a + stream_b + nnz * isz
+
+
+def sparse_out_flat_model(*, total_items: int, nnz_out: int, isz: int,
+                          bs: int = 128):
+    """SSD/SDS via an exact work list: per item one sparse block and one
+    (bs, bs) dense tile in; the packed output written once."""
+    flops = 2 * total_items * bs ** 3
+    bytes_moved = total_items * (2 * bs * bs * isz) + nnz_out * isz
+    return flops, bytes_moved
+
+
+def dss_flat_model(*, total_items: int, m: int, n: int, isz: int,
+                   bs: int = 128):
+    flops = 2 * total_items * bs ** 3
+    bytes_moved = total_items * (2 * bs * bs * isz) + m * n * isz
+    return flops, bytes_moved
+
+
+def softmax_model(*, nnz: int, isz: int):
+    # Two-pass softmax (row max, then exp/normalize) reads the data twice
+    # and writes once - 3 passes is the structural minimum without
+    # buffering whole rows in VMEM.
+    return 5 * nnz, 3 * nnz * isz
+
+
+def sol_time(flops: int, bytes_moved: int, *, peak_flops: float,
+             hbm_bps: float) -> float:
+    return max(flops / peak_flops, bytes_moved / hbm_bps)

@@ -80,8 +80,22 @@ def run(d_model: int, d_ff: int, n_experts: int, tokens: int, dtype_name: str):
         1,
     )
     add(
+        "moe_bsr_unfused",
+        lambda p, x_: models.moe_forward(p, x_, cfg, topo, impl="bsr_unfused")[0],
+        (params, x),
+        moe_flops,
+        1,
+    )
+    add(
         "moe_dropless",
         lambda p, x_: models.dropless_moe_forward(p, x_, cfg)[0],
+        (params, x),
+        moe_flops,
+        1,
+    )
+    add(
+        "moe_dropless_bsr",
+        lambda p, x_: models.dropless_moe_forward(p, x_, cfg, impl="bsr")[0],
         (params, x),
         moe_flops,
         1,

@@ -20,7 +20,14 @@ import sys
 
 import numpy as np
 
-PEAKS = {"bf16_flops": 197e12, "f32_flops": 49e12, "hbm_bps": 819e9}
+from sputnik_tpu.bench.models import (
+    PEAKS,
+    dsd_model,
+    dss_flat_model,
+    sdd_model,
+    softmax_model,
+    sparse_out_flat_model,
+)
 
 
 def _itemsize(dtype):
@@ -72,30 +79,36 @@ def audit(d: int = 2048, density: float = 0.25, dtype_name: str = "bfloat16",
             }
         )
 
-    # DSD: per nnz block, one (128, N) B panel read; A once; out once.
+    # DSD/DDS: reuse-aware model (bench.models.dsd_model) — the streamed
+    # dense-panel traffic is floored at "whole dense operand once per panel
+    # pass" so dense-metadata regimes cannot report frac > 1.
+    dsd_f, dsd_by = dsd_model(nnz=nnz, nnz_blocks=nnz_b, m=d, n=d, k=d, isz=isz)
     add(
         "bsr_dsd",
         lambda a_, b_: ops.matmul_dsd(a_, b_),
         (a, b),
-        2 * nnz * d,
-        nnz_b * 128 * d * isz + nnz * isz + d * d * isz,
+        dsd_f,
+        dsd_by,
         perturb=1,
     )
     add(
         "bsr_dds",
         lambda b_, m_: ops.matmul_dds(b_, m_),
         (b, a),
-        2 * nnz * d,
-        nnz_b * 128 * d * isz + nnz * isz + d * d * isz,
+        dsd_f,
+        dsd_by,
         perturb=0,
     )
     # SDD: per output block, full K strips of A and B; one packed block out.
+    sdd_f, sdd_by = sdd_model(
+        nnz=topo.nnz, nnz_blocks=topo.nnz_blocks, m=d, n=d, k=d, isz=isz
+    )
     add(
         "bsr_sdd",
         lambda x_, y_: ops.matmul_sdd(x_, y_, topo).data,
         (b, b),
-        2 * topo.nnz * d,
-        2 * topo.nnz_blocks * 128 * d * isz + topo.nnz * isz,
+        sdd_f,
+        sdd_by,
         perturb=0,
     )
     # SSD/SDS/DSS run their exact pre-planned work lists (the MatmulEx
@@ -104,39 +117,46 @@ def audit(d: int = 2048, density: float = 0.25, dtype_name: str = "bfloat16",
     ssd_sched = ops.plan_ssd(a, topo)
     sds_sched = ops.plan_sds(a, topo)
     dss_sched = ops.plan_dss(a, topo)
+    ssd_f, ssd_by = sparse_out_flat_model(
+        total_items=ssd_sched.total, nnz_out=topo.nnz, isz=isz
+    )
     add(
         "bsr_ssd",
         lambda a_, b_: ops.matmul_ssd(a_, b_, topo, schedule=ssd_sched).data,
         (a, b),
-        2 * ssd_sched.total * 128**3,
-        ssd_sched.total * (2 * 128 * 128 * isz) + topo.nnz * isz,
+        ssd_f,
+        ssd_by,
         perturb=1,
+    )
+    sds_f, sds_by = sparse_out_flat_model(
+        total_items=sds_sched.total, nnz_out=topo.nnz, isz=isz
     )
     add(
         "bsr_sds",
         lambda b_, m_: ops.matmul_sds(b_, m_, topo, schedule=sds_sched).data,
         (b, a),
-        2 * sds_sched.total * 128**3,
-        sds_sched.total * (2 * 128 * 128 * isz) + topo.nnz * isz,
+        sds_f,
+        sds_by,
         perturb=0,
+    )
+    dss_f, dss_by = dss_flat_model(
+        total_items=dss_sched.total, m=d, n=d, isz=isz
     )
     add(
         "bsr_dss",
         lambda a_, b_: ops.matmul_dss(a_, b_, schedule=dss_sched),
         (a, topo),
-        2 * dss_sched.total * 128**3,
-        dss_sched.total * (2 * 128 * 128 * isz) + d * d * isz,
+        dss_f,
+        dss_by,
         perturb=0,
     )
-    # Two-pass softmax (row max, then exp/normalize) reads the data twice
-    # and writes once — 3 passes is the structural minimum without
-    # buffering whole rows in VMEM.
+    sm_f, sm_by = softmax_model(nnz=nnz, isz=isz)
     add(
         "bsr_softmax",
         lambda m_: bsr_softmax(m_).data,
         (a,),
-        5 * nnz,
-        3 * nnz * isz,
+        sm_f,
+        sm_by,
         perturb=0,
     )
 

@@ -677,6 +677,12 @@ class EllMatrix:
 # ---------------------------------------------------------------------------
 
 
+# chunk="auto" crossover: below this many nonzeros per (row, 128-col chunk)
+# the 64-wide chunk wins. v5e measurements: at 12.8 (90% sparsity) 128 wins
+# (10.8 vs 13.8 us on 512^2), at 6.4 (95%) 64 wins (18.5 vs 29.1 on 1024^2).
+_AUTO_CHUNK_CROSSOVER = 9.0
+
+
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["values", "indices", "tile_widths", "row_perm"],
@@ -760,11 +766,18 @@ class SellMatrix:
 
     @staticmethod
     def from_csr(
-        m: CsrMatrix, *, chunk: int = 128, sort_rows: bool = False
+        m: CsrMatrix, *, chunk: int | str = 128, sort_rows: bool = False
     ) -> "SellMatrix":
         """CSR -> sliced-ELL on the host (concrete metadata required: the
         width is data-dependent). Stable: slots within a (row, chunk) group
         keep CSR order, so unordered column indices are preserved.
+
+        ``chunk="auto"`` picks the column-chunk width by density: the
+        reconstruct kernels pay one full (chunk x row-tile) VPU select per
+        SLOT, so at very high sparsity (few slots per 128-col chunk)
+        halving the chunk halves the wasted select area faster than the
+        extra raggedness costs (measured on v5e: chunk 64 beat 128 by
+        1.15-1.3x at 98% sparsity, 128 beat 64 at <= 90%).
 
         ``sort_rows=True`` applies the Sputnik SortedRowSwizzle at
         construction: storage rows ordered by descending nnz, so each
@@ -782,6 +795,9 @@ class SellMatrix:
                     "format outside jit and pass it through as a pytree"
                 )
         rows, cols = m.shape
+        if chunk == "auto":
+            nnz_per_row_chunk128 = m.nnz / max(rows, 1) * 128.0 / max(cols, 1)
+            chunk = 64 if nnz_per_row_chunk128 < _AUTO_CHUNK_CROSSOVER else 128
         rows_p = max(-(-rows // 128) * 128, 128)
         n_chunks = max(-(-cols // chunk), 1)
         vals = np.asarray(m.values)

@@ -1,0 +1,194 @@
+"""Fused group-structured FFN: SDD -> activation -> DSD in ONE Pallas
+kernel — the MegaBlocks MoE forward with the hidden activations never
+touching HBM.
+
+The unfused BSR MoE path (``models/moe.py`` impl="bsr") runs
+``h = SDD(x, W1, topo); h = gelu(h); y = DSD(h, W2)``: three kernels, and
+the generic SDD/DSD kernels re-stream a (d_model, bs) W strip per nonzero
+block (~4x the compulsory W traffic for a block-diagonal topology, the
+round-1 finding: 715 us vs grouped's 317 us).
+
+This kernel exploits the structure the topology actually has: a
+block-diagonal (group) pattern where consecutive runs of block rows share
+one column run (expert e's capacity rows hit exactly its d_ff columns).
+Grid = (group, ff_chunk): the group's x tile stays VMEM-resident across
+its ff chunks (Pallas skips the refetch when the index map repeats), every
+W1/W2 strip is read exactly ONCE, h lives only in registers/VMEM, and the
+y accumulator flushes once per group:
+
+    per (e, j):  h  = act(x_e @ W1[:, c(e,j)])      (MXU + VPU)
+                 acc += h @ W2[c(e,j), :]           (MXU)
+
+Traffic = x + W1 + W2 + y, each exactly once — the compulsory floor; at
+the bench config the kernel is compute-bound (2 MXU dots per step).
+
+The column ids come from the TOPOLOGY metadata (scalar-prefetched), so any
+group-structured BSR works (permuted expert layouts included); a topology
+whose groups are ragged falls back to the unfused chain at plan time.
+Reference: the MegaBlocks motivation in the fork's README (README.md:29-43)
+and the variable-trip-count iteration of block_gemm.h:129-192.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sputnik_tpu.formats import BlockSparseMatrix
+from sputnik_tpu.kernels.common import compiler_params, use_interpret
+
+__all__ = ["plan_group_ffn", "fused_group_ffn"]
+
+_ACTS = {
+    "gelu": jax.nn.gelu,
+    "relu": lambda x: jnp.maximum(x, 0.0),
+    "identity": lambda x: x,
+}
+
+
+def plan_group_ffn(topology: BlockSparseMatrix) -> Optional[Tuple[np.ndarray, int]]:
+    """(group_cols (G, f_blocks), rows_per_group) when the topology is
+    group-structured — equal-size runs of block rows sharing one column
+    run — else None (callers fall back to the unfused chain).
+
+    Host-side: needs concrete metadata (the MatmulEx discipline — plan once
+    outside jit).
+    """
+    offs = topology.offsets
+    idx = topology.indices
+    if isinstance(offs, jax.core.Tracer) or isinstance(idx, jax.core.Tracer):
+        return None
+    offs = np.asarray(offs)
+    idx = np.asarray(idx)
+    counts = offs[1:] - offs[:-1]
+    if len(counts) == 0 or counts.min() != counts.max() or counts[0] == 0:
+        return None
+    f_blocks = int(counts[0])
+    per_row = idx.reshape(-1, f_blocks)
+    # Group = run of consecutive block rows with identical column sets.
+    same_as_prev = (per_row[1:] == per_row[:-1]).all(axis=1)
+    starts = np.concatenate([[0], np.nonzero(~same_as_prev)[0] + 1])
+    sizes = np.diff(np.concatenate([starts, [len(per_row)]]))
+    if sizes.min() != sizes.max():
+        return None
+    return per_row[starts].astype(np.int32), int(sizes[0])
+
+
+def _ffn_kernel(cols_ref, *refs, n_steps: int, ff_group: int, act):
+    x_ref = refs[0]
+    w1_refs = refs[1 : 1 + ff_group]
+    w2_refs = refs[1 + ff_group : 1 + 2 * ff_group]
+    out_ref = refs[1 + 2 * ff_group]
+    acc_ref = refs[2 + 2 * ff_group]
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # ff_group strips per step, concatenated into ONE wide (d, G*bs) dot
+    # and one (G*bs, d) second dot — big MXU calls, few grid steps.
+    w1_strip = (
+        jnp.concatenate([w1_refs[g][:] for g in range(ff_group)], axis=1)
+        if ff_group > 1 else w1_refs[0][:]
+    )
+    h = jax.lax.dot_general(
+        x_ref[:], w1_strip, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    h = act(h).astype(x_ref.dtype)
+    w2_strip = (
+        jnp.concatenate([w2_refs[g][:] for g in range(ff_group)], axis=0)
+        if ff_group > 1 else w2_refs[0][:]
+    )
+    acc_ref[:] += jax.lax.dot_general(
+        h, w2_strip, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == n_steps - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def fused_group_ffn(
+    x: jax.Array,  # (G * rows_per_group * bs, d_model) — group-permuted
+    w1: jax.Array,  # (d_model, ff_total)
+    w2: jax.Array,  # (ff_total, d_model)
+    topology: BlockSparseMatrix,
+    *,
+    activation: str = "gelu",
+    out_dtype=None,
+    ff_group: int | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """y = act(SDD(x, w1, topology)) @ w2 for group-structured topologies.
+
+    Semantically identical to the unfused
+    ``dsd(sdd(x, w1, topo).map(act), w2)`` chain; raises ValueError when
+    the topology is not group-structured (use :func:`plan_group_ffn` to
+    pre-check).
+    """
+    interpret = use_interpret() if interpret is None else interpret
+    out_dtype = out_dtype or x.dtype
+    plan = plan_group_ffn(topology)
+    if plan is None:
+        raise ValueError(
+            "fused_group_ffn needs a group-structured topology (equal-size "
+            "block-row groups sharing one column run); fall back to the "
+            "unfused sdd -> dsd chain"
+        )
+    group_cols, rows_per_group = plan
+    n_groups, f_blocks = group_cols.shape
+    bs = topology.block_size
+    d_model = x.shape[1]
+    tile_rows = rows_per_group * bs
+    if x.shape[0] != n_groups * tile_rows:
+        raise ValueError(
+            f"x rows {x.shape[0]} != groups {n_groups} x {tile_rows}"
+        )
+    if w1.shape != (d_model, topology.cols):
+        raise ValueError(f"w1 must be ({d_model}, {topology.cols}), got {w1.shape}")
+    if w2.shape[0] != topology.cols:
+        raise ValueError(f"w2 rows {w2.shape[0]} != ff_total {topology.cols}")
+    act = _ACTS[activation]
+    cols_flat = jnp.asarray(group_cols.reshape(-1))
+    if ff_group is None:
+        ff_group = next(g for g in (4, 2, 1) if f_blocks % g == 0)
+    if f_blocks % ff_group:
+        raise ValueError(f"ff_group {ff_group} must divide f_blocks {f_blocks}")
+    n_steps = f_blocks // ff_group
+
+    def w1_map(g):
+        return lambda e, j, cols: (0, cols[e * f_blocks + j * ff_group + g])
+
+    def w2_map(g):
+        return lambda e, j, cols: (cols[e * f_blocks + j * ff_group + g], 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_groups, n_steps),
+        in_specs=[
+            pl.BlockSpec((tile_rows, d_model), lambda e, j, cols: (e, 0)),
+            *[pl.BlockSpec((d_model, bs), w1_map(g)) for g in range(ff_group)],
+            *[pl.BlockSpec((bs, w2.shape[1]), w2_map(g)) for g in range(ff_group)],
+        ],
+        out_specs=pl.BlockSpec((tile_rows, w2.shape[1]),
+                               lambda e, j, cols: (e, 0)),
+        scratch_shapes=[pltpu.VMEM((tile_rows, w2.shape[1]), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _ffn_kernel, n_steps=n_steps, ff_group=ff_group, act=act
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((x.shape[0], w2.shape[1]), out_dtype),
+        compiler_params=compiler_params(("parallel", "arbitrary")),
+        interpret=interpret,
+    )(cols_flat, x, *([w1] * ff_group), *([w2] * ff_group))

@@ -44,11 +44,17 @@ __all__ = ["spmm", "spmm_t", "sddmm"]
 _TR = 128  # row-tile (lanes); SellMatrix pads rows to a multiple of this
 
 
-def _tile_widths(a: SellMatrix) -> jax.Array:
-    """Per-(chunk, row-tile) slot bounds; full width when not recorded."""
-    if a.tile_widths is not None:
-        return a.tile_widths.astype(jnp.int32)
-    return jnp.full((a.n_chunks, a.rows_padded // _TR), a.width, jnp.int32)
+def _tile_widths(a: SellMatrix, tr: int = _TR) -> jax.Array:
+    """Per-(chunk, row-tile) slot bounds; full width when not recorded.
+
+    ``tr`` > 128 coarsens the recorded 128-row bounds to the wider tile
+    (max over the covered 128-row tiles)."""
+    if a.tile_widths is None:
+        return jnp.full((a.n_chunks, a.rows_padded // tr), a.width, jnp.int32)
+    tw = a.tile_widths.astype(jnp.int32)
+    if tr != _TR:
+        tw = tw.reshape(a.n_chunks, a.rows_padded // tr, tr // _TR).max(-1)
+    return tw
 
 
 def _permute_rows_in(x: jax.Array, a: SellMatrix) -> jax.Array:
@@ -67,37 +73,71 @@ def _unpermute_rows(out: jax.Array, a: SellMatrix) -> jax.Array:
     return jnp.take(out, jnp.argsort(a.row_perm), axis=0)
 
 
-# Below this width a static python unroll beats the dynamic-bound loop:
-# Mosaic's while-loop management costs more than the skipped slot work
-# (measured 4x at 1M rows / W=7; crossover ~16 slots on v5e).
-_UNROLL_MAX_WIDTH = 16
+# Below this width a static python unroll beats any loop or branch:
+# Mosaic's control-flow management (~150 ns per dynamic iteration on v5e)
+# costs more than the skipped slot work. Measured crossover (DLMC shapes):
+# static wins to w=20, grouped-8 wins from w=65 (1024^2@90%: 50.4 -> 35.9).
+_UNROLL_MAX_WIDTH = 24
+# Slots per control-flow group: the slot loop runs in units of G selects,
+# skipping whole groups past the per-tile bound (which a full static
+# unroll pays for: each select costs a whole (chunk x TR) VPU op
+# regardless of nnz). G=8 beat G=4 everywhere measured.
+_SLOT_GROUP = 8
+# Reconstruct strategy past the unroll width: "grouped" = fori_loop over
+# G-slot groups; "cond" = lax.cond-guarded static groups (measured slower
+# than grouped); "static" = full unroll regardless of width. Module-level
+# so benchmarks can sweep it.
+_RECON_MODE = "grouped"
 
 
-def _reconstruct_panel(vals_ref, cols_ref, w_bound, chunk, width):
+def _reconstruct_panel(vals_ref, cols_ref, w_bound, chunk, width, tr=_TR):
     """Densify one (chunk, row-tile) panel S^T from SELL slots.
 
     One broadcast-compare-select per slot. Small static widths unroll
-    fully; larger ones run a dynamic loop to the PER-TILE slot bound (the
+    fully; larger ones skip slot GROUPS past the PER-TILE slot bound (the
     SortedRowSwizzle dividend: ragged rows only cost their own tile).
+    Slots past a row's nnz hold the sentinel column id and add 0, so a
+    group may safely over-read up to the storage width.
     """
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, (chunk, _TR), 0)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (chunk, tr), 0)
 
-    if width <= _UNROLL_MAX_WIDTH:
-        s = jnp.zeros((chunk, _TR), jnp.float32)
-        for w in range(width):
-            cols_row = cols_ref[w, :][None, :]
-            vals_row = vals_ref[w, :][None, :].astype(jnp.float32)
-            s = s + jnp.where(iota_c == cols_row, vals_row, 0.0)
-        return s
-
-    def body(w, s):
+    def select(w, s):
         cols_row = cols_ref[w, :][None, :]  # (1, TR): sublane broadcast
         vals_row = vals_ref[w, :][None, :].astype(jnp.float32)
         return s + jnp.where(iota_c == cols_row, vals_row, 0.0)
 
-    return jax.lax.fori_loop(
-        0, w_bound, body, jnp.zeros((chunk, _TR), jnp.float32)
-    )
+    s = jnp.zeros((chunk, tr), jnp.float32)
+    if width <= _UNROLL_MAX_WIDTH or _RECON_MODE == "static":
+        for w in range(width):
+            s = select(w, s)
+        return s
+
+    g = _SLOT_GROUP
+    if _RECON_MODE == "cond":
+        def group_fn(base):
+            def run(s):
+                for i in range(base, min(base + g, width)):
+                    s = select(i, s)
+                return s
+            return run
+
+        for base in range(0, width, g):
+            s = jax.lax.cond(base < w_bound, group_fn(base), lambda s: s, s)
+        return s
+
+    n_full = width // g
+
+    def body(wg, s):
+        base = wg * g
+        for i in range(g):
+            s = select(base + i, s)
+        return s
+
+    groups = jnp.minimum((w_bound + g - 1) // g, n_full)
+    s = jax.lax.fori_loop(0, groups, body, s)
+    for w in range(n_full * g, width):  # static tail (< g slots)
+        s = select(w, s)
+    return s
 
 
 def _spmm_kernel(tw_ref, vals_ref, cols_ref, b_ref, out_ref, acc_ref, st_ref, *, n_chunks, chunk, width):
@@ -122,16 +162,18 @@ def _spmm_kernel(tw_ref, vals_ref, cols_ref, b_ref, out_ref, acc_ref, st_ref, *,
         out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
-def _spmm_tall_kernel(tw_ref, vals_ref, cols_ref, b_ref, out_ref, *, n_chunks, chunk, width):
+def _spmm_fused_kernel(tw_ref, vals_ref, cols_ref, b_ref, out_ref, *, n_chunks, chunk, width, tr):
     """One grid step per row tile; ALL chunks fused in-kernel with B
-    resident in VMEM. For tall-skinny matrices (rows >> cols) the per-step
-    grid cost dominates the chunked kernel — fusing the chunk loop trades
-    grid steps for a static in-kernel loop (~4x at 1M rows, 0.2% nnz)."""
+    resident in VMEM. Wherever B fits, the per-step grid cost (~0.5 us on
+    v5e) dominates the chunked kernel at high sparsity — fusing the chunk
+    loop trades grid steps for a static in-kernel loop (~4x at 1M rows,
+    0.2% nnz; 2-4x on small DLMC shapes at 95-98%). ``tr`` widens the row
+    tile (fewer steps still) where ``rows_padded`` allows."""
     r = pl.program_id(0)
     acc = jnp.zeros(out_ref.shape, jnp.float32)
     for kc in range(n_chunks):
         s_t = _reconstruct_panel(
-            vals_ref.at[kc], cols_ref.at[kc], tw_ref[kc, r], chunk, width
+            vals_ref.at[kc], cols_ref.at[kc], tw_ref[kc, r], chunk, width, tr
         )
         acc = acc + jax.lax.dot_general(
             s_t,
@@ -142,19 +184,31 @@ def _spmm_tall_kernel(tw_ref, vals_ref, cols_ref, b_ref, out_ref, *, n_chunks, c
     out_ref[:] = acc.astype(out_ref.dtype)
 
 
-# The tall variant keeps B and all chunk slabs in VMEM; gate on sizes.
-_TALL_B_VMEM_LIMIT = 2 << 20  # bytes
-_TALL_SLAB_VMEM_LIMIT = 1 << 20
+# The fused variant keeps B and all chunk slabs in VMEM; gate on sizes.
+_FUSED_B_VMEM_LIMIT = 2 << 20  # bytes
+_FUSED_SLAB_VMEM_LIMIT = 1 << 20
 
 
-def _use_tall(a: SellMatrix, n: int) -> bool:
+def _fused_fits(a: SellMatrix, n: int, tr: int) -> bool:
     b_bytes = a.n_chunks * a.chunk * n * 4
-    slab_bytes = 2 * a.n_chunks * a.width * _TR * 4
+    slab_bytes = 2 * a.n_chunks * a.width * tr * 4
     return (
-        a.rows_padded // _TR >= 2 * a.n_chunks
-        and b_bytes <= _TALL_B_VMEM_LIMIT
-        and slab_bytes <= _TALL_SLAB_VMEM_LIMIT
+        a.rows_padded % tr == 0
+        and b_bytes <= _FUSED_B_VMEM_LIMIT
+        and slab_bytes <= _FUSED_SLAB_VMEM_LIMIT
     )
+
+
+def _pick_variant(a: SellMatrix, n: int):
+    """(variant, tr) heuristic. The fused kernel wins whenever it fits:
+    it pays one grid step per row tile (vs one per (row-tile, chunk)) and
+    keeps B resident across the in-kernel chunk loop. Row tiles wider than
+    128 measured only ~10% faster where they compiled at all and Mosaic
+    compile times blow up (minutes) on the 256-lane select panels — stay
+    at 128 (explicit ``row_tile=`` still honors wider tiles)."""
+    if _fused_fits(a, n, _TR):
+        return "fused", _TR
+    return "chunked", _TR
 
 
 def spmm(
@@ -163,6 +217,8 @@ def spmm(
     *,
     out_dtype=None,
     n_tile: int = 512,
+    variant: str | None = None,  # None (auto) | "fused" | "chunked"
+    row_tile: int | None = None,  # fused row tile; None = auto
     interpret: bool | None = None,
 ) -> jax.Array:
     """C[rows, N] = A_sell @ B[cols, N]   (upstream Sputnik ``CudaSpmm``)."""
@@ -174,30 +230,42 @@ def spmm(
     k_padded = a.n_chunks * a.chunk
     if b.shape[0] < k_padded:  # pad B to whole chunks (sentinel-safe)
         b = jnp.pad(b, ((0, k_padded - b.shape[0]), (0, 0)))
-    if _use_tall(a, n):
+    if variant is None:
+        variant, tr = _pick_variant(a, n)
+    else:
+        tr = row_tile or _TR
+        if variant == "fused" and not _fused_fits(a, n, tr):
+            raise ValueError(
+                f"fused spmm variant does not fit VMEM at n={n}, tr={tr} "
+                f"(width={a.width}, n_chunks={a.n_chunks})"
+            )
+    if row_tile is not None:
+        tr = row_tile
+    if variant == "fused":
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(a.rows_padded // _TR,),
+            grid=(a.rows_padded // tr,),
             in_specs=[
                 pl.BlockSpec(
-                    (a.n_chunks, a.width, _TR), lambda r, tw: (0, 0, r)
+                    (a.n_chunks, a.width, tr), lambda r, tw: (0, 0, r)
                 ),
                 pl.BlockSpec(
-                    (a.n_chunks, a.width, _TR), lambda r, tw: (0, 0, r)
+                    (a.n_chunks, a.width, tr), lambda r, tw: (0, 0, r)
                 ),
                 pl.BlockSpec((k_padded, n), lambda r, tw: (0, 0)),
             ],
-            out_specs=pl.BlockSpec((_TR, n), lambda r, tw: (r, 0)),
+            out_specs=pl.BlockSpec((tr, n), lambda r, tw: (r, 0)),
         )
         out = pl.pallas_call(
             functools.partial(
-                _spmm_tall_kernel, n_chunks=a.n_chunks, chunk=a.chunk, width=a.width
+                _spmm_fused_kernel,
+                n_chunks=a.n_chunks, chunk=a.chunk, width=a.width, tr=tr,
             ),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((a.rows_padded, n), out_dtype),
             compiler_params=compiler_params(("parallel",)),
             interpret=interpret,
-        )(_tile_widths(a), a.values, a.indices, b)
+        )(_tile_widths(a, tr), a.values, a.indices, b)
         return _unpermute_rows(out, a)[: a.rows]
     bn = min(n, n_tile)
     if n % bn:
@@ -335,12 +403,46 @@ def _sddmm_kernel(tw_ref, a_ref, b_ref, cols_ref, out_ref, *, width, chunk):
     jax.lax.fori_loop(0, tw_ref[kc, r], body, 0)
 
 
+def _sddmm_fused_kernel(tw_ref, a_ref, b_ref, cols_ref, out_ref, *, width,
+                        chunk, n_chunks):
+    """One grid step per row tile, all column chunks fused in-kernel (B
+    resident in VMEM) — the SDDMM mirror of ``_spmm_fused_kernel``: at
+    high sparsity / small shapes the (rowtiles x n_chunks) grid's fixed
+    per-step cost dominates."""
+    del tw_ref
+    iota = jax.lax.broadcasted_iota(jnp.int32, (width, chunk, _TR), 1)
+    for kc in range(n_chunks):
+        scores_t = jax.lax.dot_general(
+            b_ref[kc * chunk : (kc + 1) * chunk, :].astype(jnp.float32),
+            a_ref[:].astype(jnp.float32),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (chunk, TR)
+        cols = cols_ref[kc]  # (width, TR)
+        sel = jnp.where(cols[:, None, :] == iota, scores_t[None, :, :], 0.0)
+        out_ref[kc] = jnp.sum(sel, axis=1).astype(out_ref.dtype)
+
+
+# The fused SDDMM keeps B plus the (n_chunks, width, TR) select tensor per
+# chunk in VMEM; gate on both.
+def _sddmm_use_fused(topology: SellMatrix, k: int) -> bool:
+    b_bytes = topology.n_chunks * topology.chunk * k * 4
+    sel_bytes = topology.width * topology.chunk * _TR * 4
+    out_bytes = 2 * topology.n_chunks * topology.width * _TR * 4
+    return (
+        topology.width <= _SDDMM_ONESHOT_MAX_WIDTH
+        and b_bytes <= _FUSED_B_VMEM_LIMIT
+        and sel_bytes + out_bytes <= 6 << 20
+    )
+
+
 def sddmm(
     a: jax.Array,
     b: jax.Array,
     topology: SellMatrix,
     *,
     out_dtype=None,
+    variant: str | None = None,  # None (auto) | "fused" | "chunked"
     interpret: bool | None = None,
 ) -> SellMatrix:
     """values[r, slot] = A[r, :] . B[col(slot), :]  (``CudaSddmm`` shape).
@@ -362,6 +464,39 @@ def sddmm(
     k_padded = topology.n_chunks * topology.chunk
     if b.shape[0] < k_padded:
         b = jnp.pad(b, ((0, k_padded - b.shape[0]), (0, 0)))
+    if variant is None:
+        variant = "fused" if _sddmm_use_fused(topology, k) else "chunked"
+    if variant == "fused":
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(topology.rows_padded // _TR,),
+            in_specs=[
+                pl.BlockSpec((_TR, k), lambda r, tw: (r, 0)),
+                pl.BlockSpec((k_padded, k), lambda r, tw: (0, 0)),
+                pl.BlockSpec(
+                    (topology.n_chunks, topology.width, _TR),
+                    lambda r, tw: (0, 0, r),
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (topology.n_chunks, topology.width, _TR),
+                lambda r, tw: (0, 0, r),
+            ),
+        )
+        values = pl.pallas_call(
+            functools.partial(
+                _sddmm_fused_kernel, width=topology.width,
+                chunk=topology.chunk, n_chunks=topology.n_chunks,
+            ),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (topology.n_chunks, topology.width, topology.rows_padded),
+                out_dtype,
+            ),
+            compiler_params=compiler_params(("parallel",)),
+            interpret=interpret,
+        )(_tile_widths(topology), a, b, topology.indices)
+        return topology.with_values(values)
     grid = (topology.rows_padded // _TR, topology.n_chunks)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -7,26 +7,79 @@ actual operands (device-trace timing through the dispatch-latency-proof
 harness) and remember the winner for that problem signature.
 
     variant = autotune("dsd", a, b)           # -> best variant name
-    out = ops.matmul_dsd(a, b, variant=variant)
+    out = ops.matmul_dsd(a, b)                # dispatch consults the cache
 
-Results are cached per (op, static problem signature) for the process
-lifetime; ``clear_cache()`` resets. Tuning runs real kernels — do it once
-at setup time, not inside a training step.
+``registry.dispatch`` consults the cache BEFORE first-fit, so after tuning
+once the winner is picked automatically — no ``variant=`` needed anywhere.
+The cache persists on disk (``~/.cache/sputnik_tpu/autotune.json``, or
+``$SPUTNIK_TPU_TUNE_CACHE``) keyed by (backend chip, op, static problem
+signature): the frozen first-fit crossover constants get re-measured per
+chip instead of hard-coded. Tuning runs real kernels — do it once at setup
+time, not inside a training step (and never under jit: it needs concrete
+operands).
 """
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+import json
+import os
+from typing import Dict, Optional
 
 from sputnik_tpu.ops import registry
 
-__all__ = ["autotune", "benchmark_variants", "clear_cache"]
+__all__ = ["autotune", "benchmark_variants", "cached_variant", "clear_cache"]
 
-_CACHE: Dict[Tuple, str] = {}
+_CACHE: Optional[Dict[str, str]] = None  # loaded lazily from disk
 
 
-def _signature(op: str, args, kwargs) -> Tuple:
-    sig = [op]
+def _cache_path() -> str:
+    return os.environ.get(
+        "SPUTNIK_TPU_TUNE_CACHE",
+        os.path.join(
+            os.path.expanduser("~"), ".cache", "sputnik_tpu", "autotune.json"
+        ),
+    )
+
+
+def _load_cache() -> Dict[str, str]:
+    global _CACHE
+    if _CACHE is None:
+        try:
+            with open(_cache_path()) as f:
+                _CACHE = dict(json.load(f))
+        except Exception:
+            _CACHE = {}
+    return _CACHE
+
+
+def _save_cache():
+    path = _cache_path()
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(_load_cache(), f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only filesystems: cache stays process-local
+
+
+_CHIP: Optional[str] = None
+
+
+def _chip() -> str:
+    global _CHIP
+    if _CHIP is None:
+        try:
+            import jax
+
+            dev = jax.devices()[0]
+            _CHIP = getattr(dev, "device_kind", None) or jax.default_backend()
+        except Exception:
+            _CHIP = "unknown"
+    return _CHIP
+
+
+def _signature(op: str, args, kwargs) -> str:
+    sig = [_chip(), op]
     for a in args:
         shape = getattr(a, "shape", None)
         dtype = getattr(a, "dtype", None)
@@ -35,9 +88,20 @@ def _signature(op: str, args, kwargs) -> Tuple:
         sig.append((str(type(a).__name__), shape, str(dtype), bs, nnz))
     for k in sorted(kwargs):
         v = kwargs[k]
-        if isinstance(v, (bool, int, float, str, type(None))):
+        # Normalize: falsy defaults (None / False) are dropped so
+        # ``autotune("dsd", a, b)`` and the dispatch-side call with
+        # explicit ``transpose_a=False, out_dtype=None`` hash identically.
+        if v is None or v is False:
+            continue
+        if isinstance(v, (bool, int, float, str)):
             sig.append((k, v))
-    return tuple(map(str, sig))
+    return "|".join(map(str, sig))
+
+
+def cached_variant(op: str, args, kwargs) -> Optional[str]:
+    """Tuned winner for this problem signature, or None (cache only — never
+    measures; safe to call at trace time with tracer operands)."""
+    return _load_cache().get(_signature(op, args, kwargs))
 
 
 def benchmark_variants(op: str, *args, chain: int = 8, runs: int = 3, **kwargs):
@@ -69,10 +133,12 @@ def benchmark_variants(op: str, *args, chain: int = 8, runs: int = 3, **kwargs):
 
 
 def autotune(op: str, *args, **kwargs) -> str:
-    """Best variant name for this problem (cached by static signature)."""
+    """Best variant name for this problem (cached by chip + signature,
+    persisted to disk; subsequent dispatches pick it up automatically)."""
+    cache = _load_cache()
     key = _signature(op, args, kwargs)
-    if key in _CACHE:
-        return _CACHE[key]
+    if key in cache:
+        return cache[key]
     timings = benchmark_variants(op, *args, **kwargs)
     if not timings:
         raise NotImplementedError(
@@ -80,9 +146,14 @@ def autotune(op: str, *args, **kwargs) -> str:
             f"(tried {[v.name for v in registry.variants_for(op)]})"
         )
     best = min(timings, key=timings.get)
-    _CACHE[key] = best
+    cache[key] = best
+    _save_cache()
     return best
 
 
 def clear_cache():
-    _CACHE.clear()
+    _load_cache().clear()
+    try:
+        os.remove(_cache_path())
+    except OSError:
+        pass

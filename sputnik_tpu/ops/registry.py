@@ -52,6 +52,28 @@ def dispatch(op: str, *args, variant: str | None = None, **kwargs):
             if v.name == variant:
                 return v.launch(*args, **kwargs)
         raise ValueError(f"{op}: no variant named {variant!r}")
+    # Tuned winner first (the reference's "TODO: do something smarter",
+    # cutlass/dsd.cu:57-74): consult the persistent autotune cache by
+    # problem signature; stale entries fall through to first-fit.
+    # (importlib: the ops package re-exports an `autotune` FUNCTION that
+    # shadows the module name, so attribute-style imports grab the wrong
+    # object.)
+    import importlib
+
+    _autotune = importlib.import_module("sputnik_tpu.ops.autotune")
+
+    tuned = _autotune.cached_variant(op, args, kwargs)
+    if tuned is not None:
+        for v in variants:
+            if v.name == tuned:
+                try:
+                    ok = v.can_implement(*args, **kwargs)
+                except Exception:
+                    ok = False
+                if ok:
+                    log.debug("%s: dispatching tuned %s", op, tuned)
+                    return v.launch(*args, **kwargs)
+                break
     for v in variants:
         if v.can_implement(*args, **kwargs):
             if log.isEnabledFor(logging.DEBUG):

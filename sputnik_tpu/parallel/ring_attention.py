@@ -12,14 +12,16 @@ with the standard SDD kernel and folded with numerically-stable
 logsumexp merging — empty cells (banded topologies have many) cost one
 masked no-op step.
 
-Built from the verified single-device ops (SDD + segment stats + DSD);
-an in-kernel fused ring (the flash kernel streaming remote bands) is the
-natural next optimization.
+Two band-fold paths:
 
-Causal masking at block granularity comes from the topology pattern
-itself (use ``causal_block_topology``); intra-block triangular masking is
-not yet supported here (use the sequence-parallel or single-device paths
-for exact elementwise-causal attention).
+  * ``fused=True`` (default): each band folds through ONE Pallas kernel
+    (``flash_band_fold`` — the fused flash kernel threading UNnormalized
+    (acc, m, l) state across ring steps). ``causal=True`` applies exact
+    elementwise causal masking: block ids are rebased to GLOBAL
+    coordinates inside the kernel, so diagonal blocks get the intra-block
+    triangle and the result matches single-device causal attention.
+  * ``fused=False``: the verified unfused chain (SDD + segment stats +
+    DSD) with block-granular masking from the topology pattern only.
 """
 
 from __future__ import annotations
@@ -159,23 +161,57 @@ def ring_block_sparse_attention(
     *,
     axis: str = "x",
     scale: Optional[float] = None,
+    causal: bool = False,
+    fused: bool = True,
 ) -> jax.Array:
-    """Ring attention over ``mesh[axis]``; all of q/k/v stay sharded."""
+    """Ring attention over ``mesh[axis]``; all of q/k/v stay sharded.
+
+    ``causal=True`` (fused path only) masks each score block to the exact
+    global causal triangle — with a block-lower-triangular topology the
+    result equals single-device elementwise-causal attention.
+    """
     if scale is None:
         scale = 1.0 / float(np.sqrt(q.shape[-1]))
+    if causal and not fused:
+        raise ValueError("causal masking requires the fused band fold")
     s = topology.n_shards
     bs = topology.block_size
     band_blocks = topology.band_blocks
     dh = q.shape[1]
+    p = topology.rows.shape[-1]
+
+    from sputnik_tpu.kernels.flash_attention import flash_band_fold
 
     def local(q_l, k_l, v_l, rows_l, cols_l, valid_l):
         i = jax.lax.axis_index(axis)
         t_local = q_l.shape[0]
+        k_buf, v_buf = k_l, v_l
+        perm = [(a, (a + 1) % s) for a in range(s)]
+        if fused:
+            acc = jnp.zeros((t_local, dh), jnp.float32)
+            m = jnp.full((t_local, 128), _NEG, jnp.float32)
+            l = jnp.zeros((t_local, 128), jnp.float32)
+            slot = jnp.arange(p, dtype=jnp.int32)
+            for r in range(s):
+                j = (i - r) % s  # kv band currently held
+                flags = (slot < valid_l[0, j]).astype(jnp.int32)
+                acc, m, l = flash_band_fold(
+                    q_l, k_buf, v_buf,
+                    rows_l[0, j], cols_l[0, j], flags,
+                    (acc, m, l),
+                    bs=bs, scale=scale, causal=causal,
+                    row_offset_blocks=i * band_blocks,
+                    col_offset_blocks=j * band_blocks,
+                )
+                if r != s - 1:
+                    k_buf = jax.lax.ppermute(k_buf, axis, perm)
+                    v_buf = jax.lax.ppermute(v_buf, axis, perm)
+            l_col = l[:, 0:1]
+            out = acc / jnp.maximum(l_col, 1e-30)
+            return jnp.where(l_col > 0, out, 0.0).astype(q_l.dtype)
         acc = jnp.zeros((t_local, dh), jnp.float32)
         m = jnp.full((t_local,), _NEG, jnp.float32)
         l = jnp.zeros((t_local,), jnp.float32)
-        k_buf, v_buf = k_l, v_l
-        perm = [(a, (a + 1) % s) for a in range(s)]
         for r in range(s):
             j = (i - r) % s  # kv band currently held
             acc, m, l = _band_fold(

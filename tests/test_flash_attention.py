@@ -97,16 +97,22 @@ def test_causal_fully_masked_row(rng):
     np.testing.assert_allclose(fused, unfused, atol=1e-3)
 
 
-def test_grads_match_unfused(rng):
+@pytest.mark.parametrize("fused_backward", [True, False])
+@pytest.mark.parametrize("causal", [False, True])
+def test_grads_match_unfused(rng, fused_backward, causal):
     t, dh = 256, 128
     topo = attn.band_topology(t, 2, 128, dtype=jnp.float32)
     q, k, v = _qkv(rng, t, dh)
 
     def loss_fused(q_, k_, v_):
-        return jnp.sum(flash_block_attention(q_, k_, v_, topo) ** 2)
+        out = flash_block_attention(
+            q_, k_, v_, topo, causal=causal, fused_backward=fused_backward
+        )
+        return jnp.sum(out ** 2)
 
     def loss_unfused(q_, k_, v_):
-        return jnp.sum(attn.block_sparse_attention(q_, k_, v_, topo) ** 2)
+        out = attn.block_sparse_attention(q_, k_, v_, topo, causal=causal)
+        return jnp.sum(out ** 2)
 
     gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
     gu = jax.grad(loss_unfused, argnums=(0, 1, 2))(q, k, v)
@@ -114,6 +120,34 @@ def test_grads_match_unfused(rng):
         np.testing.assert_allclose(
             np.asarray(a, np.float32), np.asarray(b, np.float32), atol=1e-2
         )
+
+
+def test_fused_backward_random_topology(rng):
+    """Fused dQ/dK/dV on an unordered random topology with empty rows AND
+    empty columns (unvisited output blocks must come out zero)."""
+    t, tk, dh = 384, 512, 128
+    ones = np.ones((128, 128), np.float32)
+    # rows {0, 2} populated; row 1 empty; columns {0, 3} used, 1/2 empty.
+    topo = testing.bsr_from_blocks(
+        t, tk, [0, 0, 2], [3, 0, 0], np.stack([ones] * 3)
+    )
+    q, k, v = _qkv(rng, t, dh, tk)
+
+    def loss(fn):
+        def f(q_, k_, v_):
+            return jnp.sum(fn(q_, k_, v_) ** 2)
+        return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+    gf = loss(lambda q_, k_, v_: flash_block_attention(q_, k_, v_, topo))
+    gu = loss(lambda q_, k_, v_: attn.block_sparse_attention(q_, k_, v_, topo))
+    for a, b in zip(gf, gu):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), atol=1e-2
+        )
+    # empty query row -> zero dq; empty key columns -> zero dk/dv
+    assert np.all(np.asarray(gf[0])[128:256] == 0)
+    assert np.all(np.asarray(gf[1])[128:384] == 0)
+    assert np.all(np.asarray(gf[2])[128:384] == 0)
 
 
 def test_under_jit_and_vmap(rng):

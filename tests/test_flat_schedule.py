@@ -196,8 +196,14 @@ def test_schedule_matches_masked_kernel(rng):
     )
 
 
-def test_autotune_picks_a_variant(rng):
+def test_autotune_picks_a_variant(rng, tmp_path, monkeypatch):
+    import importlib
+
+    at_mod = importlib.import_module("sputnik_tpu.ops.autotune")
     from sputnik_tpu.ops import autotune, benchmark_variants
+
+    monkeypatch.setenv("SPUTNIK_TPU_TUNE_CACHE", str(tmp_path / "tune.json"))
+    monkeypatch.setattr(at_mod, "_CACHE", None)  # reload from patched path
 
     m = k = n = 512
     a = _mk(rng, m, k, 0.25, False)
@@ -206,9 +212,13 @@ def test_autotune_picks_a_variant(rng):
     assert timings, "no variant timed"
     best = autotune("dsd", a, b)
     assert best in timings
-    # cached second call
+    # cached second call + persisted to disk
     assert autotune("dsd", a, b) == best
-    out = ops.matmul_dsd(a, b, variant=best)
+    assert (tmp_path / "tune.json").exists()
+    # dispatch consults the persistent cache (no variant= needed)
+    monkeypatch.setattr(at_mod, "_CACHE", None)  # force re-read from disk
+    assert at_mod.cached_variant("dsd", (a, b), {}) == best
+    out = ops.matmul_dsd(a, b)
     expected = testing.dense_oracle_matmul(np.asarray(a.to_dense()), np.asarray(b))
     np.testing.assert_allclose(np.asarray(out, np.float32), expected, atol=ATOL)
 

@@ -63,6 +63,56 @@ def test_moe_grouped_matches_bsr(rng, cfg):
     )
 
 
+def test_moe_fused_matches_unfused(rng, cfg):
+    """impl='bsr' (fused SDD->gelu->DSD kernel) vs the three-kernel chain."""
+    key = jax.random.PRNGKey(0)
+    params = models.init_moe_params(key, cfg)
+    topo = models.block_diag_topology(cfg)
+    x = jnp.asarray(rng.standard_normal((200, cfg.d_model)).astype(np.float32))
+    yf, _ = models.moe_forward(params, x, cfg, topo, impl="bsr")
+    yu, _ = models.moe_forward(params, x, cfg, topo, impl="bsr_unfused")
+    np.testing.assert_allclose(
+        np.asarray(yf, np.float32), np.asarray(yu, np.float32), atol=1e-3
+    )
+
+
+def test_moe_fused_grads(rng, cfg):
+    key = jax.random.PRNGKey(0)
+    params = models.init_moe_params(key, cfg)
+    topo = models.block_diag_topology(cfg)
+    x = jnp.asarray(rng.standard_normal((96, cfg.d_model)).astype(np.float32))
+
+    def loss(impl):
+        def f(p):
+            y, aux = models.moe_forward(p, x, cfg, topo, impl=impl)
+            return jnp.sum(y.astype(jnp.float32) ** 2) + aux
+        return jax.grad(f)(params)
+
+    gf, gu = loss("bsr"), loss("bsr_unfused")
+    for k in gf:
+        np.testing.assert_allclose(
+            np.asarray(gf[k], np.float32), np.asarray(gu[k], np.float32),
+            atol=1e-2, rtol=1e-2,
+        )
+
+
+def test_plan_group_ffn_rejects_ragged(rng):
+    from sputnik_tpu.kernels.bsr_ffn import plan_group_ffn
+    from sputnik_tpu.utils import testing
+
+    # Random topology: rows don't share column runs -> not group-structured.
+    topo = testing.random_bsr(rng, 512, 512, 512 * 512 // 4, 128)
+    assert plan_group_ffn(topo) is None
+    # The block-diagonal MoE topology IS group-structured.
+    cfg2 = models.MoEConfig(
+        d_model=128, d_ff=256, n_experts=2, capacity=256, dtype=jnp.float32
+    )
+    plan = plan_group_ffn(models.block_diag_topology(cfg2))
+    assert plan is not None
+    group_cols, rows_per_group = plan
+    assert group_cols.shape == (2, 2) and rows_per_group == 2
+
+
 def test_moe_train_step_decreases_loss(rng, cfg):
     import optax
 

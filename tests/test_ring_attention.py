@@ -83,6 +83,43 @@ def test_ring_dh128_pallas_path(rng, mesh, topo_kind):
     )
 
 
+@pytest.mark.parametrize("fused", [True, False])
+def test_ring_fused_matches_unfused_paths(rng, mesh, fused):
+    seq, dh = 4 * 256, 64
+    topo = attn.band_topology(seq, 3, 128, dtype=jnp.float32)
+    ring_topo = partition_topology_ring(topo, 4)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((seq, dh)).astype(np.float32))
+        for _ in range(3)
+    )
+    out = ring_block_sparse_attention(q, k, v, ring_topo, mesh, fused=fused)
+    expected = attn.block_sparse_attention(q, k, v, topo)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(expected, np.float32), atol=ATOL
+    )
+
+
+def test_ring_causal_elementwise(rng, mesh):
+    """Exact elementwise-causal ring attention: global diagonal blocks get
+    the intra-block triangle (round-1 limitation removed)."""
+    seq, dh = 4 * 256, 128
+    topo = attn.causal_block_topology(seq, 128, window_blocks=4, dtype=jnp.float32)
+    ring_topo = partition_topology_ring(topo, 4)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((seq, dh)).astype(np.float32))
+        for _ in range(3)
+    )
+    out = ring_block_sparse_attention(q, k, v, ring_topo, mesh, causal=True)
+    expected = attn.block_sparse_attention(q, k, v, topo, causal=True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(expected, np.float32), atol=ATOL
+    )
+    with pytest.raises(ValueError, match="causal"):
+        ring_block_sparse_attention(
+            q, k, v, ring_topo, mesh, causal=True, fused=False
+        )
+
+
 def test_ring_under_jit(rng, mesh):
     seq, dh = 4 * 128, 64
     topo = attn.band_topology(seq, 2, 128, dtype=jnp.float32)

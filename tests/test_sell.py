@@ -192,6 +192,36 @@ def test_sorted_rows_attention_chain(rng):
     np.testing.assert_allclose(np.asarray(out, np.float32), expected, atol=ATOL)
 
 
+def test_auto_chunk_and_variants(rng):
+    """chunk="auto" narrows chunks at high sparsity; all spmm/sddmm
+    variants agree with the oracle on both chunk widths."""
+    dense_c = _mk(rng, 512, 512, 0.30)
+    sparse_c = _mk(rng, 512, 512, 0.02)
+    assert SellMatrix.from_csr(dense_c, chunk="auto").chunk == 128
+    s = SellMatrix.from_csr(sparse_c, chunk="auto", sort_rows=True)
+    assert s.chunk == 64
+    b = jnp.asarray(rng.standard_normal((512, 64)).astype(np.float32))
+    expected = testing.dense_oracle_matmul(np.asarray(sparse_c.to_dense()), np.asarray(b))
+    from sputnik_tpu.kernels import sell as sell_kernels
+
+    for kw in (dict(variant="chunked"), dict(variant="fused", row_tile=128)):
+        out = sell_kernels.spmm(s, b, **kw)
+        np.testing.assert_allclose(np.asarray(out, np.float32), expected, atol=ATOL)
+    # sddmm variants on the chunk=64 topology
+    q = jnp.asarray(rng.standard_normal((512, 64)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((512, 64)).astype(np.float32))
+    vals = {
+        name: np.asarray(
+            sell_kernels.sddmm(q, k, s, variant=name).to_dense(), np.float32
+        )
+        for name in ("fused", "chunked")
+    }
+    scores = np.asarray(q, np.float64) @ np.asarray(k, np.float64).T
+    mask = np.asarray(sparse_c.to_dense()) != 0
+    np.testing.assert_allclose(vals["fused"], scores * mask, atol=ATOL)
+    np.testing.assert_allclose(vals["chunked"], scores * mask, atol=ATOL)
+
+
 def test_sorted_rows_grads(rng):
     s = SellMatrix.from_csr(_mk(rng, 256, 256, 0.08), sort_rows=True)
     b = jnp.asarray(rng.standard_normal((256, 64)).astype(np.float32))
