@@ -64,9 +64,10 @@ DEFAULT_GROUP = 4  # work items per grid step (measured best on v5e)
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=[
-        "out_ids", "dep_ids", "data_ids", "other_ids", "flags", "unvisited_ids",
+        "out_ids", "dep_ids", "data_ids", "other_ids", "flags",
+        "unvisited_ids", "slab_ids",
     ],
-    meta_fields=["kind", "total", "group", "n_steps", "all_visited"],
+    meta_fields=["kind", "total", "group", "n_steps", "all_visited", "slab"],
 )
 @dataclasses.dataclass(frozen=True)
 class FlatSchedule:
@@ -90,11 +91,13 @@ class FlatSchedule:
     other_ids: jax.Array  # (n_steps * group,) int32
     flags: jax.Array  # (n_steps * group,) int32 in {0, 1}
     unvisited_ids: jax.Array  # (n_unvisited,) int32 output-block ids
+    slab_ids: jax.Array  # (n_steps,) stream slab block index (slab mode)
     kind: str  # "ssd" | "sds" | "dss"
     total: int  # real (unpadded) work items
     group: int
     n_steps: int
     all_visited: bool
+    slab: bool  # stream blocks fetched as one contiguous (group,bs,bs) DMA
 
 
 def _np(x, what: str) -> np.ndarray:
@@ -148,9 +151,9 @@ def _batch_items(
         z = jnp.zeros((0,), jnp.int32)
         return FlatSchedule(
             out_ids=z, dep_ids=z, data_ids=z, other_ids=z, flags=z,
-            unvisited_ids=jnp.asarray(unvisited),
+            unvisited_ids=jnp.asarray(unvisited), slab_ids=z,
             kind=kind, total=0, group=group, n_steps=0,
-            all_visited=unvisited.size == 0,
+            all_visited=unvisited.size == 0, slab=False,
         )
     uniq, counts = np.unique(out_ids, return_counts=True)
     # Adaptive group: batching only pays when output blocks average at
@@ -175,11 +178,13 @@ def _batch_items(
         other_ids=jnp.asarray(other),
         flags=jnp.asarray(flags),
         unvisited_ids=jnp.asarray(unvisited),
+        slab_ids=jnp.zeros((0,), jnp.int32),
         kind=kind,
         total=total,
         group=group,
         n_steps=len(step_out),
         all_visited=unvisited.size == 0,
+        slab=False,
     )
 
 
@@ -190,6 +195,7 @@ def plan_sparse_out(
     kind: str,  # "ssd" (stream = A, grouped by out row) | "sds" (stream = B)
     stream_transposed: bool,
     group: int = DEFAULT_GROUP,
+    slab: bool = False,
 ) -> FlatSchedule:
     """Exact schedule for a sparse-output matmul with one sparse operand.
 
@@ -197,6 +203,11 @@ def plan_sparse_out(
     operand's blocks in that output block's group (row for SSD, column for
     SDS) — the host-side equivalent of the reference kernel's per-tile
     ``offsets[m], offsets[m+1]`` reads (``block_gemm.h:129-137``).
+
+    ``slab=True`` (natural-order streams only, where a group's blocks are
+    physically consecutive): each step's stream blocks come from ONE
+    group-aligned contiguous (group, bs, bs) slab — one DMA instead of
+    ``group`` — padding the run out to slab boundaries with flag-0 slots.
     """
     offs, dep, data = _stream_np(stream, stream_transposed)
     if kind == "ssd":
@@ -210,9 +221,50 @@ def plan_sparse_out(
 
     counts = (offs[1:] - offs[:-1])[group_of]
     total = int(counts.sum())
+    unvisited = np.nonzero(counts == 0)[0].astype(np.int32)
+    if slab:
+        if stream_transposed:
+            raise ValueError("slab schedules need a natural-order stream")
+        g = group
+        starts, ends = offs[group_of], offs[group_of] + counts
+        a_starts = (starts // g) * g
+        a_ends = -(-ends // g) * g
+        spans = np.maximum(a_ends - a_starts, 0)
+        n_sub = spans // g  # slabs per output block
+        step_out = np.repeat(
+            np.arange(len(group_of), dtype=np.int32), n_sub
+        )
+        slab_ids = (
+            _ragged_positions(a_starts // g, n_sub)
+        )
+        # Per-slot stream positions (clamped into range for dep lookups).
+        pos = (
+            np.repeat(slab_ids.astype(np.int64), g) * g
+            + np.tile(np.arange(g, dtype=np.int64), len(slab_ids))
+        )
+        flags = (
+            (pos >= np.repeat(starts, n_sub * g))
+            & (pos < np.repeat(ends, n_sub * g))
+        ).astype(np.int32)
+        pos_c = np.clip(pos, 0, max(len(dep) - 1, 0))
+        out_rep = np.repeat(step_out, g)
+        return FlatSchedule(
+            out_ids=jnp.asarray(step_out),
+            dep_ids=jnp.asarray(dep[pos_c].astype(np.int32)),
+            data_ids=jnp.asarray(pos_c.astype(np.int32)),
+            other_ids=jnp.asarray(other_of[out_rep].astype(np.int32)),
+            flags=jnp.asarray(flags),
+            unvisited_ids=jnp.asarray(unvisited),
+            slab_ids=jnp.asarray(slab_ids.astype(np.int32)),
+            kind=kind,
+            total=total,
+            group=g,
+            n_steps=len(step_out),
+            all_visited=unvisited.size == 0,
+            slab=True,
+        )
     out_ids = np.repeat(np.arange(len(group_of), dtype=np.int32), counts)
     pos = _ragged_positions(offs[group_of], counts)
-    unvisited = np.nonzero(counts == 0)[0].astype(np.int32)
     return _batch_items(
         out_ids,
         (dep[pos], data[pos], other_of[out_ids]),
@@ -292,19 +344,29 @@ def _flat_kernel(
     data_ids,
     other_ids,
     flags,
-    *refs,  # group block refs, group panel refs, out_ref, acc_ref
+    slab_ids,  # (n_steps,) in slab mode, dummy otherwise
+    *refs,  # stream refs (group, or 1 slab), group panel refs, out_ref, acc_ref
     group: int,
     n_steps: int,
     dims,
     block_first: bool,
     panel_is_block: bool,
     out_is_block: bool,
+    slab: bool = False,
 ):
-    del dep_ids, data_ids, other_ids
-    blocks = refs[:group]
-    panels = refs[group : 2 * group]
-    out_ref = refs[2 * group]
-    acc_ref = refs[2 * group + 1]
+    del dep_ids, data_ids, other_ids, slab_ids
+    if slab:
+        slab_ref = refs[0]
+        get_block = lambda g: slab_ref[g]  # one (group,bs,bs) slab DMA
+        panels = refs[1 : 1 + group]
+        out_ref = refs[1 + group]
+        acc_ref = refs[2 + group]
+    else:
+        stream_refs = refs[:group]
+        get_block = lambda g: stream_refs[g][0]
+        panels = refs[group : 2 * group]
+        out_ref = refs[2 * group]
+        acc_ref = refs[2 * group + 1]
     j = pl.program_id(0)
     cur = out_ids[j]
     prev = out_ids[jnp.maximum(j - 1, 0)]
@@ -318,7 +380,7 @@ def _flat_kernel(
 
     accum = jnp.zeros(acc_ref.shape, jnp.float32)
     for g in range(group):
-        block = blocks[g][0]
+        block = get_block(g)
         panel = panels[g][0] if panel_is_block else panels[g][:]
         lhs, rhs = (block, panel) if block_first else (panel, block)
         prod = jax.lax.dot_general(
@@ -362,25 +424,40 @@ def _flat_call(
     group = schedule.group
 
     def block_map(g):
-        return lambda j, out, dep, dat, oth, fl: (dat[j * group + g], 0, 0)
+        return lambda j, out, dep, dat, oth, fl, sl: (dat[j * group + g], 0, 0)
 
     def panel_map(g):
         if panel_is_block:
-            return lambda j, out, dep, dat, oth, fl: (dep[j * group + g], 0, 0)
-        return lambda j, out, dep, dat, oth, fl: panel_index(
+            return lambda j, out, dep, dat, oth, fl, sl: (
+                dep[j * group + g], 0, 0
+            )
+        return lambda j, out, dep, dat, oth, fl, sl: panel_index(
             dep[j * group + g], oth[j * group + g]
         )
 
-    in_specs = [
-        pl.BlockSpec((1, bs, bs), block_map(g)) for g in range(group)
-    ] + [
+    if schedule.slab:
+        stream_specs = [
+            pl.BlockSpec(
+                (group, bs, bs),
+                lambda j, out, dep, dat, oth, fl, sl: (sl[j], 0, 0),
+            )
+        ]
+        stream_args = [stream_data]
+        slab_ids = schedule.slab_ids
+    else:
+        stream_specs = [
+            pl.BlockSpec((1, bs, bs), block_map(g)) for g in range(group)
+        ]
+        stream_args = [stream_data] * group
+        slab_ids = jnp.zeros((1,), jnp.int32)  # dummy, never indexed
+    in_specs = stream_specs + [
         pl.BlockSpec(
             (1, bs, bs) if panel_is_block else (bs, bs), panel_map(g)
         )
         for g in range(group)
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(schedule.n_steps,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(out_block, out_index),
@@ -397,6 +474,7 @@ def _flat_call(
             block_first=block_first,
             panel_is_block=panel_is_block,
             out_is_block=out_is_block,
+            slab=schedule.slab,
         ),
         grid_spec=grid_spec,
         out_shape=out_shape,
@@ -408,7 +486,8 @@ def _flat_call(
         schedule.data_ids,
         schedule.other_ids,
         schedule.flags,
-        *([stream_data] * group),
+        slab_ids,
+        *stream_args,
         *([panel_operand] * group),
     )
 
@@ -436,7 +515,7 @@ def _flat_sparse_out_call(
         panel_index=panel_index,
         out_shape=jax.ShapeDtypeStruct((nnz_c, bs, bs), out_dtype),
         out_block=(1, bs, bs),
-        out_index=lambda j, out, dep, dat, oth, fl: (out[j], 0, 0),
+        out_index=lambda j, out, dep, dat, oth, fl, sl: (out[j], 0, 0),
         dims=dims,
         block_first=block_first,
         panel_is_block=False,
@@ -561,7 +640,7 @@ def dss_flat(
         panel_index=None,
         out_shape=jax.ShapeDtypeStruct((m_dim, n_dim), out_dtype),
         out_block=(bs, bs),
-        out_index=lambda j, out_, dep, dat, oth, fl: (
+        out_index=lambda j, out_, dep, dat, oth, fl, sl: (
             out_[j] // n_blocks,
             out_[j] % n_blocks,
         ),

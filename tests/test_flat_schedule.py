@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from sputnik_tpu import ops
+from sputnik_tpu.kernels import bsr_flat as plan_flat
 from sputnik_tpu.kernels import reference
 from sputnik_tpu.utils import testing
 from sputnik_tpu.utils.testing import ATOL
@@ -194,6 +195,31 @@ def test_schedule_matches_masked_kernel(rng):
         np.asarray(masked.data, np.float32),
         atol=1e-5,
     )
+
+
+def test_slab_schedules_match(rng):
+    """slab=True fetches each step's stream blocks as one contiguous
+    group-aligned DMA; results must match the per-block schedule exactly."""
+    d = 512
+    a = _mk(rng, d, d, 0.25, False)
+    topo = _mk(rng, d, d, 0.25, False)
+    b = jnp.asarray(rng.standard_normal((d, d)).astype(np.float32))
+    base = ops.matmul_ssd(a, b, topo)
+    for g in (4, 8):
+        s = plan_flat.plan_sparse_out(
+            a, topo, kind="ssd", stream_transposed=False, group=g, slab=True
+        )
+        assert s.slab and s.n_steps > 0
+        out = ops.matmul_ssd(a, b, topo, schedule=s)
+        np.testing.assert_allclose(
+            np.asarray(out.data, np.float32),
+            np.asarray(base.data, np.float32),
+            atol=1e-5,
+        )
+    with pytest.raises(ValueError, match="natural-order"):
+        plan_flat.plan_sparse_out(
+            a, topo, kind="ssd", stream_transposed=True, slab=True
+        )
 
 
 def test_autotune_picks_a_variant(rng, tmp_path, monkeypatch):

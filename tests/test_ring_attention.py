@@ -1,4 +1,14 @@
-"""Ring (context-parallel) block-sparse attention vs the single-device chain."""
+"""Ring (context-parallel) block-sparse attention vs the single-device chain.
+
+Coverage map (kept lean — interpret-mode ring folds are the slowest tests
+in the suite):
+  * fused band-fold path (the default): band + random topologies, jit,
+    empty rows, exact elementwise-causal at dh=128.
+  * unfused chain (fused=False): one band case + the dh=128 random-topology
+    regression (zero-padded cell slots used to violate the DSD stream
+    kernel's non-decreasing row contract and overwrite block-row 0; dh=64
+    silently falls back to the jnp reference, so the regression needs 128).
+"""
 
 import numpy as np
 import pytest
@@ -22,20 +32,22 @@ def mesh():
     return Mesh(np.array(jax.devices()[:4]), ("x",))
 
 
-@pytest.mark.parametrize("topo_kind", ["band", "causal_blocks", "random"])
+def _qkv(rng, seq, dh):
+    return tuple(
+        jnp.asarray(rng.standard_normal((seq, dh)).astype(np.float32))
+        for _ in range(3)
+    )
+
+
+@pytest.mark.parametrize("topo_kind", ["band", "random"])
 def test_ring_matches_single_device(rng, mesh, topo_kind):
     seq, dh = 4 * 256, 64
     if topo_kind == "band":
         topo = attn.band_topology(seq, 3, 128, dtype=jnp.float32)
-    elif topo_kind == "causal_blocks":
-        topo = attn.causal_block_topology(seq, 128, window_blocks=4, dtype=jnp.float32)
     else:
         topo = testing.random_bsr(rng, seq, seq, seq * seq // 4, 128)
     ring_topo = partition_topology_ring(topo, 4)
-    q, k, v = (
-        jnp.asarray(rng.standard_normal((seq, dh)).astype(np.float32))
-        for _ in range(3)
-    )
+    q, k, v = _qkv(rng, seq, dh)
     out = ring_block_sparse_attention(q, k, v, ring_topo, mesh)
     expected = attn.block_sparse_attention(q, k, v, topo)
     np.testing.assert_allclose(
@@ -43,56 +55,15 @@ def test_ring_matches_single_device(rng, mesh, topo_kind):
     )
 
 
-def test_ring_empty_rows(rng, mesh):
-    """Query rows with no blocks anywhere must come out exactly zero."""
-    seq, dh = 4 * 256, 64
-    ones = np.ones((128, 128), np.float32)
-    # Only block-row 0 attends (to columns 0 and 5).
-    topo = testing.bsr_from_blocks(seq, seq, [0, 0], [0, 5], np.stack([ones] * 2))
+@pytest.mark.parametrize("dh", [64, 128])
+def test_ring_unfused_path(rng, mesh, dh):
+    """fused=False band folds through the unfused SDD/DSD chain. dh=128
+    exercises the Pallas DSD stream kernel (cell-padding regression)."""
+    seq = 4 * 256
+    topo = testing.random_bsr(rng, seq, seq, seq * seq // 4, 128)
     ring_topo = partition_topology_ring(topo, 4)
-    q, k, v = (
-        jnp.asarray(rng.standard_normal((seq, dh)).astype(np.float32))
-        for _ in range(3)
-    )
-    out = np.asarray(ring_block_sparse_attention(q, k, v, ring_topo, mesh))
-    assert np.all(out[128:] == 0)
-    expected = np.asarray(attn.block_sparse_attention(q, k, v, topo), np.float32)
-    np.testing.assert_allclose(out, expected, atol=ATOL)
-
-
-@pytest.mark.parametrize("topo_kind", ["causal_blocks", "random"])
-def test_ring_dh128_pallas_path(rng, mesh, topo_kind):
-    """dh=128 passes the DSD 128-alignment gate, so the Pallas stream
-    kernel runs (dh=64 silently falls back to the jnp reference).
-    Regression: zero-padded cell slots used to revisit output block-row 0
-    after the real rows and overwrite it with the masked contribution."""
-    seq, dh = 4 * 256, 128
-    if topo_kind == "causal_blocks":
-        topo = attn.causal_block_topology(seq, 128, window_blocks=4, dtype=jnp.float32)
-    else:
-        topo = testing.random_bsr(rng, seq, seq, seq * seq // 4, 128)
-    ring_topo = partition_topology_ring(topo, 4)
-    q, k, v = (
-        jnp.asarray(rng.standard_normal((seq, dh)).astype(np.float32))
-        for _ in range(3)
-    )
-    out = ring_block_sparse_attention(q, k, v, ring_topo, mesh)
-    expected = attn.block_sparse_attention(q, k, v, topo)
-    np.testing.assert_allclose(
-        np.asarray(out, np.float32), np.asarray(expected, np.float32), atol=ATOL
-    )
-
-
-@pytest.mark.parametrize("fused", [True, False])
-def test_ring_fused_matches_unfused_paths(rng, mesh, fused):
-    seq, dh = 4 * 256, 64
-    topo = attn.band_topology(seq, 3, 128, dtype=jnp.float32)
-    ring_topo = partition_topology_ring(topo, 4)
-    q, k, v = (
-        jnp.asarray(rng.standard_normal((seq, dh)).astype(np.float32))
-        for _ in range(3)
-    )
-    out = ring_block_sparse_attention(q, k, v, ring_topo, mesh, fused=fused)
+    q, k, v = _qkv(rng, seq, dh)
+    out = ring_block_sparse_attention(q, k, v, ring_topo, mesh, fused=False)
     expected = attn.block_sparse_attention(q, k, v, topo)
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(expected, np.float32), atol=ATOL
@@ -105,10 +76,7 @@ def test_ring_causal_elementwise(rng, mesh):
     seq, dh = 4 * 256, 128
     topo = attn.causal_block_topology(seq, 128, window_blocks=4, dtype=jnp.float32)
     ring_topo = partition_topology_ring(topo, 4)
-    q, k, v = (
-        jnp.asarray(rng.standard_normal((seq, dh)).astype(np.float32))
-        for _ in range(3)
-    )
+    q, k, v = _qkv(rng, seq, dh)
     out = ring_block_sparse_attention(q, k, v, ring_topo, mesh, causal=True)
     expected = attn.block_sparse_attention(q, k, v, topo, causal=True)
     np.testing.assert_allclose(
@@ -120,14 +88,25 @@ def test_ring_causal_elementwise(rng, mesh):
         )
 
 
+def test_ring_empty_rows(rng, mesh):
+    """Query rows with no blocks anywhere must come out exactly zero."""
+    seq, dh = 4 * 256, 64
+    ones = np.ones((128, 128), np.float32)
+    # Only block-row 0 attends (to columns 0 and 5).
+    topo = testing.bsr_from_blocks(seq, seq, [0, 0], [0, 5], np.stack([ones] * 2))
+    ring_topo = partition_topology_ring(topo, 4)
+    q, k, v = _qkv(rng, seq, dh)
+    out = np.asarray(ring_block_sparse_attention(q, k, v, ring_topo, mesh))
+    assert np.all(out[128:] == 0)
+    expected = np.asarray(attn.block_sparse_attention(q, k, v, topo), np.float32)
+    np.testing.assert_allclose(out, expected, atol=ATOL)
+
+
 def test_ring_under_jit(rng, mesh):
     seq, dh = 4 * 128, 64
     topo = attn.band_topology(seq, 2, 128, dtype=jnp.float32)
     ring_topo = partition_topology_ring(topo, 4)
-    q, k, v = (
-        jnp.asarray(rng.standard_normal((seq, dh)).astype(np.float32))
-        for _ in range(3)
-    )
+    q, k, v = _qkv(rng, seq, dh)
 
     @jax.jit
     def run(q_, k_, v_):
