@@ -26,18 +26,42 @@ SPARSITIES = [0.70, 0.80, 0.90, 0.95, 0.98]
 SHAPES = [(512, 512), (2048, 512), (512, 2048), (1024, 1024)]
 
 
-def run(n: int, chain: int = 8, runs: int = 3):
+def _configs(weights_path):
+    """Yield (label, rows, cols, sparsity, CsrMatrix). With a trained
+    weights file (utils.dlmc_gen), matrices are MAGNITUDE-PRUNED trained
+    transformer weights — the DLMC generation protocol; otherwise the
+    synthetic skewed-row generator stands in."""
+    from sputnik_tpu.utils.dlmc import synthetic_dlmc
+
+    if weights_path:
+        from sputnik_tpu.utils.dlmc_gen import (
+            WEIGHT_KEYS, load_weights, pruned_csr,
+        )
+
+        w = load_weights(weights_path)
+        for key in WEIGHT_KEYS:
+            for sp in SPARSITIES:
+                c = pruned_csr(w, key, sp)
+                yield key, c.shape[0], c.shape[1], sp, c
+        return
+    rng = np.random.default_rng(3)
+    for rows, cols in SHAPES:
+        for sp in SPARSITIES:
+            yield f"{rows}x{cols}", rows, cols, sp, synthetic_dlmc(
+                rng, rows, cols, sp
+            )
+
+
+def run(n: int, chain: int = 8, runs: int = 3, weights_path: str | None = None):
     import jax.numpy as jnp
     from sputnik_tpu.formats import SellMatrix
     from sputnik_tpu.ops import csr as csr_ops
-    from sputnik_tpu.utils.dlmc import synthetic_dlmc
     from sputnik_tpu.utils.profiling import device_time
 
     rng = np.random.default_rng(3)
     rows_out = []
-    for rows, cols in SHAPES:
-        for sp in SPARSITIES:
-            c = synthetic_dlmc(rng, rows, cols, sp)
+    for label, rows, cols, sp, c in _configs(weights_path):
+        if True:
             nnz = int(c.nnz)
             if nnz == 0:
                 continue
@@ -55,7 +79,7 @@ def run(n: int, chain: int = 8, runs: int = 3):
                 sol_t = (nnz * (n + 1) * 4 + cols * n * 4) / PEAK_HBM_BPS
                 rows_out.append({
                     "op": "spmm", "shape": [rows, cols], "sparsity": sp,
-                    "nnz": nnz, "time_us": t * 1e6,
+                    "matrix": label, "nnz": nnz, "time_us": t * 1e6,
                     "gflops": 2 * nnz * n / t / 1e9,
                     "gnnz_per_s": nnz / t / 1e9,
                     "frac_sol": sol_t / t, "timing": m["timing"],
@@ -69,15 +93,18 @@ def run(n: int, chain: int = 8, runs: int = 3):
             # registry picks it via CsrMatrix.with_dense_mirror().
             try:
                 cm = c.with_dense_mirror()
+                # roll perturbation: pure jnp.dot chains get hoisted by
+                # XLA under additive/slice perturbations.
                 m = device_time(
                     lambda c_, b_: csr_ops.spmm(c_, b_),
                     cm, b, chain=chain, runs=runs, perturb_index=1,
+                    perturb_mode="roll",
                 )
                 t = m["time_s"]
                 sol_t = (nnz * (n + 1) * 4 + cols * n * 4) / PEAK_HBM_BPS
                 rows_out.append({
                     "op": "spmm_mirror", "shape": [rows, cols], "sparsity": sp,
-                    "nnz": nnz, "time_us": t * 1e6,
+                    "matrix": label, "nnz": nnz, "time_us": t * 1e6,
                     "gflops": 2 * nnz * n / t / 1e9,
                     "gnnz_per_s": nnz / t / 1e9,
                     "frac_sol": sol_t / t, "timing": m["timing"],
@@ -97,7 +124,7 @@ def run(n: int, chain: int = 8, runs: int = 3):
                 sol_t = (nnz * (2 * n + 1) * 4) / PEAK_HBM_BPS
                 rows_out.append({
                     "op": "sddmm", "shape": [rows, cols], "sparsity": sp,
-                    "nnz": nnz, "time_us": t * 1e6,
+                    "matrix": label, "nnz": nnz, "time_us": t * 1e6,
                     "gflops": 2 * nnz * n / t / 1e9,
                     "gnnz_per_s": nnz / t / 1e9,
                     "frac_sol": sol_t / t, "timing": m["timing"],
@@ -105,7 +132,7 @@ def run(n: int, chain: int = 8, runs: int = 3):
             except Exception as e:
                 rows_out.append({"op": "sddmm", "shape": [rows, cols],
                                  "sparsity": sp, "error": str(e)[:120]})
-            print(f"# done {rows}x{cols} @ {sp}", file=sys.stderr)
+            print(f"# done {label} {rows}x{cols} @ {sp}", file=sys.stderr)
     return rows_out
 
 
@@ -113,8 +140,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=64)
     ap.add_argument("--out", default="dlmc_results.json")
+    ap.add_argument("--weights", default=None,
+                    help="trained-weights npz (utils.dlmc_gen) -> "
+                         "magnitude-pruned REAL matrices")
     args = ap.parse_args()
-    rows = run(args.n)
+    rows = run(args.n, weights_path=args.weights)
     print("| op | shape | sparsity | time (us) | GFLOP/s | Gnnz/s | frac SoL |")
     print("|---|---|---|---|---|---|---|")
     for r in rows:

@@ -20,6 +20,13 @@ is NOT replicated (SURVEY.md section 6 flags it).
 from __future__ import annotations
 
 PEAKS = {"bf16_flops": 197e12, "f32_flops": 49e12, "hbm_bps": 819e9}
+# VPU element-op rate: (8 sublanes x 128 lanes) x 4 ALUs per cycle at
+# ~950 MHz. Ops that are select/exp/compare bound (SELL reconstruct,
+# softmax) hit this wall long before HBM or the MXU; a speed-of-light
+# model without it reports unfalsifiable <<1 or >1 fractions for those
+# kernels. (The single-ALU 0.96e12 figure made measured SELL kernels
+# "beat" the bound 2.7x — the multi-ALU rate is the physical one.)
+VPU_ELEM_OPS = 3.9e12
 
 
 def dsd_model(*, nnz: int, nnz_blocks: int, m: int, n: int, k: int,
@@ -79,5 +86,17 @@ def softmax_model(*, nnz: int, isz: int):
 
 
 def sol_time(flops: int, bytes_moved: int, *, peak_flops: float,
-             hbm_bps: float) -> float:
-    return max(flops / peak_flops, bytes_moved / hbm_bps)
+             hbm_bps: float, vpu_elems: int = 0) -> float:
+    return max(
+        flops / peak_flops,
+        bytes_moved / hbm_bps,
+        vpu_elems / VPU_ELEM_OPS,
+    )
+
+
+def sell_vpu_elems(slots_total: int, chunk: int, tr: int = 128,
+                   ops_per_slot: int = 3) -> int:
+    """Select-reconstruct VPU work: each slot costs ~3 full (chunk, TR)
+    panel ops (compare, select, add) regardless of how few values it
+    places — the structural cost of the SELL MXU-panel approach."""
+    return ops_per_slot * slots_total * chunk * tr

@@ -53,8 +53,9 @@ def run(d_model: int, d_ff: int, n_experts: int, tokens: int, dtype_name: str):
 
     results = []
 
-    def add(name, fn, args, flops, perturb):
-        m = device_time(fn, *args, chain=4, runs=3, perturb_index=perturb)
+    def add(name, fn, args, flops, perturb, perturb_mode="row"):
+        m = device_time(fn, *args, chain=4, runs=3, perturb_index=perturb,
+                        perturb_mode=perturb_mode)
         results.append(
             {
                 "impl": name,
@@ -64,7 +65,8 @@ def run(d_model: int, d_ff: int, n_experts: int, tokens: int, dtype_name: str):
             }
         )
 
-    add("dense_equal_params", dense, (w1, w2, x), dense_flops, 2)
+    add("dense_equal_params", dense, (w1, w2, x), dense_flops, 2,
+        perturb_mode="roll")  # pure matmul chain: prevent XLA hoisting
     add(
         "moe_grouped",
         lambda p, x_: models.moe_forward(p, x_, cfg, topo, impl="grouped")[0],

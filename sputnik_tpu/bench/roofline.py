@@ -58,14 +58,24 @@ def audit(d: int = 2048, density: float = 0.25, dtype_name: str = "bfloat16",
 
     rows = []
 
-    def add(name, fn, args, flops, bytes_moved, perturb=0):
+    def add(name, fn, args, flops, bytes_moved, perturb=0, vpu=0,
+            perturb_mode="row"):
+        from sputnik_tpu.bench.models import VPU_ELEM_OPS, sol_time
+
         try:
-            m = device_time(fn, *args, chain=chain, runs=runs, perturb_index=perturb)
+            m = device_time(fn, *args, chain=chain, runs=runs,
+                            perturb_index=perturb, perturb_mode=perturb_mode)
         except Exception as e:  # record the failure, keep auditing
             rows.append({"op": name, "error": str(e)[:120]})
             return
         t = m["time_s"]
-        sol = max(flops / peak_flops, bytes_moved / bw)
+        sol = sol_time(flops, bytes_moved, peak_flops=peak_flops,
+                       hbm_bps=bw, vpu_elems=vpu)
+        bound = "compute"
+        if sol == bytes_moved / bw:
+            bound = "bandwidth"
+        if vpu and sol == vpu / VPU_ELEM_OPS:
+            bound = "vpu"
         rows.append(
             {
                 "op": name,
@@ -73,7 +83,8 @@ def audit(d: int = 2048, density: float = 0.25, dtype_name: str = "bfloat16",
                 "gflops": flops / t / 1e9,
                 "flops": flops,
                 "bytes": bytes_moved,
-                "bound": "compute" if flops / peak_flops > bytes_moved / bw else "bandwidth",
+                "vpu_elems": vpu,
+                "bound": bound,
                 "frac_sol": sol / t,
                 "timing": m["timing"],
             }
@@ -158,49 +169,89 @@ def audit(d: int = 2048, density: float = 0.25, dtype_name: str = "bfloat16",
         sm_f,
         sm_by,
         perturb=0,
+        vpu=8 * nnz,  # exp + two reduction passes + normalize
+    )
+    # Fused SDD+softmax: one score pass + normalize epilogue. Model =
+    # the SDD accounting plus scores crossing HBM twice (f32 write + read)
+    # and the probability write.
+    from sputnik_tpu.ops.softmax import sdd_softmax
+
+    qsm = jnp.asarray(rng.standard_normal((d, 128)).astype(np.float32)).astype(dtype)
+    sm2_f = 2 * topo.nnz * 128 + 5 * topo.nnz
+    sm2_by = (
+        2 * topo.nnz_blocks * 128 * 128 * isz  # q/k block streams
+        + 2 * topo.nnz * 4  # raw scores write + read (f32)
+        + topo.nnz * isz  # probabilities out
+    )
+    add(
+        "sdd_softmax(fused)",
+        lambda q_, k_: sdd_softmax(q_, k_, topo).data,
+        (qsm, qsm + jnp.asarray(0.1, dtype)),
+        sm2_f,
+        sm2_by,
+        perturb=0,
+        vpu=8 * topo.nnz,  # online stats + epilogue exp/normalize
     )
 
-    # CSR engine (SELL fast paths) at the north-star config scale. The
-    # byte model is the reference's GPU-style no-reuse accounting (one B
-    # row per nonzero); the SELL kernel rebuilds MXU panels in VMEM, so
-    # fractions > 1 mean it beats what any gather-based engine could do.
+    # CSR engine (SELL fast paths) at the north-star config scale.
+    # Byte model: the reference's GPU-style no-reuse accounting (one B row
+    # per nonzero — what a gather engine pays). VPU model: the select-
+    # reconstruct cost the SELL approach pays instead (bench.models.
+    # sell_vpu_elems from the ACTUAL per-tile slot bounds). The binding
+    # constraint is whichever is larger, so fractions stay <= ~1 while
+    # still showing when the kernel beats any gather engine's byte bound.
+    from sputnik_tpu.bench.models import sell_vpu_elems
     from sputnik_tpu.formats import SellMatrix
 
     c = testing.random_csr(rng, d, d, int(d * d * 0.1), dtype=jnp.float32)
     s_mat = SellMatrix.from_csr(c)
+    s_slots = int(np.asarray(s_mat.tile_widths).sum())
     nnz_e = int(d * d * 0.1)
     bn = 256
     bm = jnp.asarray(rng.standard_normal((d, bn)).astype(np.float32))
+    # Compulsory bytes: values+cols once, B once, out once. (The DLMC
+    # sweep additionally reports the GPU-style no-reuse gather model —
+    # one B row per nonzero — under which these kernels run >1: they beat
+    # what any gather engine could do; here the audit uses true lower
+    # bounds so >= 0.8 stays falsifiable.)
+    spmm_bytes = nnz_e * 8 + 2 * d * bn * 4
     add(
         "csr_spmm(sell)",
         lambda c_, b_: csr_ops.spmm(c_, b_),
         (s_mat, bm),
         2 * nnz_e * bn,
-        nnz_e * (bn + 1) * 4 + d * bn * 4,
+        spmm_bytes,
         perturb=1,
+        vpu=sell_vpu_elems(s_slots, s_mat.chunk),
     )
+    # Mirror path does DENSE MXU work; audit it against the dense model.
+    # perturb_mode="roll": pure jnp.dot — XLA hoists the matmul out of
+    # the chain under slice-update perturbations.
     c_mirror = c.with_dense_mirror()
     add(
         "csr_spmm(mirror)",
         lambda c_, b_: csr_ops.spmm(c_, b_),
         (c_mirror, bm),
-        2 * nnz_e * bn,
-        nnz_e * (bn + 1) * 4 + d * bn * 4,
+        2 * d * d * bn,
+        d * d * 4 + 2 * d * bn * 4,
         perturb=1,
+        perturb_mode="roll",
     )
     qm = jnp.asarray(rng.standard_normal((d, 64)).astype(np.float32))
     km = jnp.asarray(rng.standard_normal((d, 64)).astype(np.float32))
     ctopo = SellMatrix.from_csr(
         testing.random_csr(rng, d, d, int(d * d * 0.05), dtype=jnp.float32)
     )
+    ct_slots = int(np.asarray(ctopo.tile_widths).sum())
     nnz_t = int(d * d * 0.05)
     add(
         "csr_sddmm(sell)",
         lambda q_, k_: csr_ops.sddmm(q_, k_, ctopo).values,
         (qm, km),
         2 * nnz_t * 64,
-        nnz_t * (2 * 64 + 1) * 4,
+        nnz_t * 8 + 2 * d * 64 * 4 + nnz_t * 4,
         perturb=0,
+        vpu=sell_vpu_elems(ct_slots, ctopo.chunk),
     )
     add(
         "csr_softmax(sell)",
@@ -209,6 +260,8 @@ def audit(d: int = 2048, density: float = 0.25, dtype_name: str = "bfloat16",
         5 * nnz_e,
         2 * nnz_e * 4,
         perturb=0,
+        # softmax sweeps the whole padded slot rectangle ~5 times
+        vpu=5 * s_mat.n_chunks * s_mat.width * s_mat.rows_padded,
     )
 
     # Transposed SELL SpMM (the weight-gradient shape).
@@ -220,11 +273,14 @@ def audit(d: int = 2048, density: float = 0.25, dtype_name: str = "bfloat16",
         lambda s_, x_: sell_kernels.spmm_t(s_, x_),
         (s_mat, xg),
         2 * nnz_e * bn,
-        nnz_e * (bn + 1) * 4 + d * bn * 4,
+        spmm_bytes,
         perturb=1,
+        vpu=sell_vpu_elems(s_slots, s_mat.chunk),
     )
 
-    # Fused flash block-sparse attention (causal banded topology).
+    # Fused flash block-sparse attention (causal banded topology). The
+    # binding term is the online-softmax VPU work (~6 elementwise ops per
+    # score element), not bytes or MXU flops.
     from sputnik_tpu.models import attention as attn_lib
 
     ftopo = attn_lib.causal_block_topology(d, 128, window_blocks=8, dtype=dtype)
@@ -241,6 +297,7 @@ def audit(d: int = 2048, density: float = 0.25, dtype_name: str = "bfloat16",
         f_flops,
         f_bytes,
         perturb=0,
+        vpu=6 * ftopo.nnz,
     )
     return rows
 

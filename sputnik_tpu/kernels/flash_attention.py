@@ -42,7 +42,7 @@ from sputnik_tpu.formats import BlockSparseMatrix
 from sputnik_tpu.kernels.bsr_flat import _batch_items
 from sputnik_tpu.kernels.common import compiler_params, use_interpret
 
-__all__ = ["flash_block_attention", "flash_band_fold"]
+__all__ = ["flash_block_attention", "flash_band_fold", "sdd_softmax_fused"]
 
 _NEG_INF = -1e30
 
@@ -251,6 +251,147 @@ def _keep_mask(row_id, col_id, valid, bs: int, causal: bool):
         jnp.logical_and(jnp.logical_not(on_diag), below),
     )
     return jnp.logical_and(keep, valid)
+
+
+def _sdd_softmax_kernel(
+    rows,  # (n_steps,) block-row id per step (non-decreasing)
+    cols,  # (n_steps * group,)
+    flags,  # (n_steps * group,)
+    q_ref, *refs,
+    group: int,
+    n_steps: int,
+    bs: int,
+    scale: float,
+    causal: bool,
+):
+    k_refs = refs[:group]
+    s_out = refs[group]        # (group, bs, bs) raw scaled+masked scores
+    m_out = refs[group + 1]    # (bs, 128) row max (written on row end)
+    l_out = refs[group + 2]    # (bs, 128) row sum of exp(s - m)
+    m_ref, l_ref = refs[group + 3 :]
+    j = pl.program_id(0)
+    cur = rows[j]
+    prev = rows[jnp.maximum(j - 1, 0)]
+    nxt = rows[jnp.minimum(j + 1, n_steps - 1)]
+    is_first = jnp.logical_or(j == 0, prev != cur)
+    is_last = jnp.logical_or(j == n_steps - 1, nxt != cur)
+
+    @pl.when(is_first)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    strip = []
+    for g in range(group):
+        s = jax.lax.dot_general(
+            q_ref[:], k_refs[g][:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        keep = _keep_mask(rows[j], cols[j * group + g],
+                          flags[j * group + g] > 0, bs, causal)
+        s = jnp.where(keep, s, _NEG_INF)
+        s_out[g] = s.astype(s_out.dtype)
+        strip.append(s)
+    s_strip = jnp.concatenate(strip, axis=1) if group > 1 else strip[0]
+    m_prev = m_ref[:, 0:1]
+    m_new = jnp.maximum(m_prev, jnp.max(s_strip, axis=1, keepdims=True))
+    corr = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s_strip - m_new)
+    p = jnp.where(s_strip > 0.5 * _NEG_INF, p, 0.0)
+    l_ref[:, 0:1] = l_ref[:, 0:1] * corr + jnp.sum(p, axis=1, keepdims=True)
+    m_ref[:, 0:1] = m_new
+
+    @pl.when(is_last)
+    def _():
+        m_out[:] = jnp.broadcast_to(m_ref[:, 0:1], m_out.shape)
+        l_out[:] = jnp.broadcast_to(l_ref[:, 0:1], l_out.shape)
+
+
+def sdd_softmax_fused(
+    q: jax.Array,  # (T, dh)
+    k: jax.Array,  # (Tk, dh)
+    topology: BlockSparseMatrix,
+    *,
+    scale: Optional[float] = None,
+    causal: bool = False,
+    out_dtype=None,
+    interpret: bool | None = None,
+) -> BlockSparseMatrix:
+    """probs = softmax(scale * q @ k^T at topology) in ONE score pass.
+
+    Fuses the reference's SDDMM -> SparseSoftmax chain: the kernel streams
+    (q, k) block pairs once (the flash strip plan), writes the raw masked
+    scores and per-row (max, sum) stats, and a fused XLA epilogue
+    normalizes — the scores cross HBM twice instead of the unfused
+    chain's four passes (SDD write + softmax max/exp reads + write).
+    Semantics identical to ``bsr_softmax(matmul_sdd(q, k, topology,
+    transpose_b=True), scale=scale, causal=causal)``.
+    """
+    interpret = use_interpret() if interpret is None else interpret
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(q.shape[-1]))
+    scale = float(scale)
+    out_dtype = out_dtype or topology.dtype
+    bs = topology.block_size
+    t = q.shape[0]
+    if topology.nnz_blocks == 0:
+        return topology
+    rows, cols, flags, group, n_steps = _plan(topology)
+    dh = q.shape[1]
+
+    def k_map(g):
+        return lambda j, rows_, cols_, fl_: (cols_[j * group + g], 0)
+
+    row_map = lambda j, rows_, cols_, fl_: (rows_[j], 0)
+    in_specs = [pl.BlockSpec((bs, dh), row_map)]
+    in_specs += [pl.BlockSpec((bs, dh), k_map(g)) for g in range(group)]
+    scores_pad, m_stat, l_stat = pl.pallas_call(
+        functools.partial(
+            _sdd_softmax_kernel, group=group, n_steps=n_steps, bs=bs,
+            scale=scale, causal=causal,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(n_steps,),
+            in_specs=in_specs,
+            out_specs=(
+                pl.BlockSpec((group, bs, bs),
+                             lambda j, rows_, cols_, fl_: (j, 0, 0)),
+                pl.BlockSpec((bs, 128), row_map),
+                pl.BlockSpec((bs, 128), row_map),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((bs, 128), jnp.float32),
+                pltpu.VMEM((bs, 128), jnp.float32),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_steps * group, bs, bs), jnp.float32),
+            jax.ShapeDtypeStruct((t, 128), jnp.float32),
+            jax.ShapeDtypeStruct((t, 128), jnp.float32),
+        ),
+        compiler_params=compiler_params(("arbitrary",)),
+        interpret=interpret,
+    )(rows, cols, flags, q, *([k] * group))
+
+    # Slot of each topology block in the padded step-ordered output: items
+    # are laid out in plan order, which follows the (stable row-sorted)
+    # topology order with flag-0 duplicates interleaved.
+    if not isinstance(flags, jax.core.Tracer):
+        fl = np.asarray(flags)
+        perm = jnp.asarray(np.nonzero(fl)[0].astype(np.int32))
+    else:
+        perm = jnp.nonzero(
+            flags, size=topology.nnz_blocks, fill_value=0
+        )[0].astype(jnp.int32)
+    s = jnp.take(scores_pad, perm, axis=0)  # (nnz, bs, bs) topo order
+    ri = topology.row_indices
+    m_rows = m_stat[:, 0].reshape(topology.block_rows, bs)[ri][:, :, None]
+    l_rows = l_stat[:, 0].reshape(topology.block_rows, bs)[ri][:, :, None]
+    e = jnp.exp(s - m_rows)
+    e = jnp.where(s > 0.5 * _NEG_INF, e, 0.0)
+    probs = e / jnp.maximum(l_rows, 1e-30)
+    return topology.with_data(probs.astype(out_dtype))
 
 
 def _fold_kernel(

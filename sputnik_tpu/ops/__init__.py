@@ -16,7 +16,7 @@ from sputnik_tpu.ops.matmul import (
 )
 from sputnik_tpu.ops import registry
 from sputnik_tpu.ops.autodiff import make_differentiable, grad, value_and_grad
-from sputnik_tpu.ops.softmax import bsr_softmax
+from sputnik_tpu.ops.softmax import bsr_softmax, sdd_softmax
 from sputnik_tpu.ops import csr
 from sputnik_tpu.ops.autotune import autotune, benchmark_variants
 
@@ -74,6 +74,7 @@ __all__ = [
     "grad",
     "value_and_grad",
     "bsr_softmax",
+    "sdd_softmax",
     "csr",
     "autotune",
     "benchmark_variants",

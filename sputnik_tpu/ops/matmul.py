@@ -20,6 +20,7 @@ from sputnik_tpu.kernels import (
     bsr_dsd_pipelined,
     bsr_flat,
     bsr_sdd,
+    bsr_small,
     bsr_ssd,
     bsr_dss,
     reference,
@@ -96,6 +97,29 @@ registry.register("dsd", "pallas_stream", _dsd_can, bsr_dsd.dsd)
 # Manual-DMA pipeline variant (opt-in via variant="pallas_pipelined"):
 # matches the streamed kernel at large shapes; useful for tuning studies.
 registry.register("dsd", "pallas_pipelined", lambda *a, **k: False, bsr_dsd_pipelined.dsd)
+
+
+def _dsd_small_can(a, b, transpose_a=False, transpose_b=False, out_dtype=None, **kw):
+    """Packed small-block DSD (bs 32/64): the sparse-saving path for the
+    block sizes the reference reserved but never wired (arguments.h:13-19).
+    Needs concrete metadata (host-planned packing) and MXU-aligned dims."""
+    n_dim = b.shape[0] if transpose_b else b.shape[1]
+    k_dim = b.shape[1] if transpose_b else b.shape[0]
+    return (
+        a.block_size in (32, 64)
+        and not transpose_a
+        and a.nnz_blocks > 0
+        and n_dim % 128 == 0
+        and k_dim % a.block_size == 0
+        and _concrete(a.offsets, a.indices)
+        and all(
+            jnp.dtype(dt) in (jnp.dtype(d) for d in _PALLAS_DTYPES)
+            for dt in (a.dtype, b.dtype, out_dtype or a.dtype)
+        )
+    )
+
+
+registry.register("dsd", "pallas_smallblock", _dsd_small_can, bsr_small.dsd_smallblock)
 registry.register("dsd", "jnp_fallback", lambda *a, **k: True, reference.dsd)
 
 

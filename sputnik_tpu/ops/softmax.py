@@ -18,7 +18,29 @@ import jax.numpy as jnp
 
 from sputnik_tpu.formats import BlockSparseMatrix
 
-__all__ = ["bsr_softmax"]
+__all__ = ["bsr_softmax", "sdd_softmax"]
+
+
+def sdd_softmax(
+    q: jax.Array,
+    k: jax.Array,
+    topology: BlockSparseMatrix,
+    *,
+    scale: float | None = None,
+    causal: bool = False,
+    out_dtype=None,
+) -> BlockSparseMatrix:
+    """softmax(scale * q @ k^T at topology) — the fused SDD+softmax path.
+
+    One Pallas score pass + fused normalize epilogue (scores cross HBM
+    twice vs four passes unfused); semantics identical to
+    ``bsr_softmax(matmul_sdd(q, k, topology, transpose_b=True), ...)``.
+    """
+    from sputnik_tpu.kernels.flash_attention import sdd_softmax_fused
+
+    return sdd_softmax_fused(
+        q, k, topology, scale=scale, causal=causal, out_dtype=out_dtype
+    )
 
 
 def bsr_softmax(

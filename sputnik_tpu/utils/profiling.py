@@ -51,14 +51,30 @@ def device_time(
     chain: int = 8,
     runs: int = 3,
     perturb_index: int = 0,
+    perturb_mode: str = "row",
 ) -> dict:
     """Per-op device seconds for ``op(*args) -> array-or-pytree``.
 
-    Builds a jitted chain of ``chain`` dependent invocations (arg
-    ``perturb_index`` is nudged by a scalar derived from the previous output
-    so XLA cannot CSE the repeats), runs it ``runs`` times under a profiler
-    trace, and returns the top-level executable's device time divided by
-    ``chain``. Falls back to wall/chain when no trace is produced (CPU).
+    Builds a jitted chain of ``chain`` dependent invocations; arg
+    ``perturb_index``'s float leaves get their FIRST slice rewritten with a
+    NONLINEAR function of itself and the previous output, so XLA can
+    neither CSE the repeats nor algebraically hoist them. (An earlier
+    additive-epsilon perturbation was unsound for ops LINEAR in the
+    perturbed argument: XLA distributes ``dot(M, b + eps)`` into
+    ``dot(M, b) + eps * dot(M, ones)`` and times an AXPY chain — the csr
+    mirror row once "measured" an impossible 365 TFLOP/s that way. Pallas
+    calls are opaque to the simplifier and were never affected.) The
+    update touches one leading slice, so its own cost is negligible.
+
+    ``perturb_mode="roll"``: rotate the operand by a data-dependent shift
+    instead. Required for ops that are PURE XLA linear algebra (jnp.dot,
+    einsum baselines): XLA strength-reduces even a one-row update of a
+    dot operand into rank-1 corrections and hoists the matmul out of the
+    chain. The roll costs one operand copy per step — use it only where
+    needed (Pallas calls are opaque and never require it).
+    Runs ``runs`` times under a profiler trace and returns the top-level
+    executable's device time divided by ``chain``. Falls back to
+    wall/chain when no trace is produced (CPU).
     """
     import jax.numpy as jnp
 
@@ -77,12 +93,34 @@ def device_time(
             out = op(*a)
             eps = _scalarize(out) * 1e-12
             tgt = a[perturb_index]
-            a[perturb_index] = jax.tree_util.tree_map(
-                lambda x: (x + eps.astype(x.dtype))
-                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.inexact)
-                else x,
-                tgt,
-            )
+            if perturb_mode == "roll":
+                bits = jax.lax.bitcast_convert_type(eps, jnp.int32)
+                shift = jnp.bitwise_and(bits, 7) + 1
+
+                def bump(x):
+                    if not (
+                        hasattr(x, "dtype")
+                        and jnp.issubdtype(x.dtype, jnp.inexact)
+                        and getattr(x, "ndim", 0) >= 1
+                        and x.shape[0] > 1
+                    ):
+                        return x
+                    return jnp.roll(x, shift, axis=0)
+
+            else:
+
+                def bump(x):
+                    if not (
+                        hasattr(x, "dtype")
+                        and jnp.issubdtype(x.dtype, jnp.inexact)
+                        and getattr(x, "ndim", 0) >= 1
+                        and x.shape[0] > 1
+                    ):
+                        return x
+                    row = jnp.abs(x[0]) + eps.astype(x.dtype)  # nonlinear
+                    return x.at[0].set(row.astype(x.dtype))
+
+            a[perturb_index] = jax.tree_util.tree_map(bump, tgt)
         return out
 
     out = jax.block_until_ready(chained(*args))  # compile + warmup

@@ -87,3 +87,41 @@ def test_bitmask_and_is_dss_intersection(rng):
     expected_items = int((pa.astype(np.int64) @ pb.astype(np.int64)).sum())
     assert sched.total == expected_items
     del ma, mb
+
+
+@pytest.mark.parametrize("bs", [32, 64])
+@pytest.mark.parametrize("tb", [False, True])
+def test_smallblock_packed_dsd(rng, bs, tb):
+    """bs in {32, 64} now dispatches to the PACKED sparse-saving kernel
+    (pack = 128/bs blocks per MXU dot) instead of densifying — the
+    capability the reference reserved via BlockSize but never wired."""
+    from sputnik_tpu.ops import registry
+
+    m = k = n = 512
+    a = testing.random_bsr(rng, m, k, m * k // 3, bs)
+    b_kn = rng.standard_normal((k, n)).astype(np.float32)
+    b = jnp.asarray(b_kn.T.copy() if tb else b_kn)
+    assert any(
+        v.name == "pallas_smallblock"
+        and v.can_implement(a, b, transpose_b=tb)
+        for v in registry.variants_for("dsd")
+    )
+    out = ops.matmul_dsd(a, b, transpose_b=tb)
+    expected = testing.dense_oracle_matmul(np.asarray(a.to_dense()), b_kn)
+    np.testing.assert_allclose(np.asarray(out, np.float32), expected, atol=ATOL)
+
+
+def test_smallblock_unordered_and_ragged(rng):
+    """Unordered column ids and rows whose nnz is not a multiple of the
+    pack width exercise the zero-block padding path."""
+    bs = 64
+    ones = np.ones((bs, bs), np.float32)
+    # row 0: 3 blocks (ragged vs pack=2), unordered columns; row 5: 1 block.
+    a = testing.bsr_from_blocks(
+        8 * bs, 8 * bs, [0, 0, 0, 5], [6, 1, 3, 2],
+        np.stack([ones, 2 * ones, 3 * ones, 4 * ones]),
+    )
+    b = jnp.asarray(rng.standard_normal((8 * bs, 128)).astype(np.float32))
+    out = ops.matmul_dsd(a, b, variant="pallas_smallblock")
+    expected = testing.dense_oracle_matmul(np.asarray(a.to_dense()), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(out, np.float32), expected, atol=ATOL)

@@ -25,6 +25,8 @@ PROBLEMS = [
     (512, 512, 256, 0.5, False),   # 50% sparse
     (512, 256, 512, 0.25, False),  # 25% sparse
     (512, 512, 512, 0.25, True),   # unordered column indices
+    (1024, 128, 256, 0.5, False),  # rectangular extreme: tall, one inner
+    (128, 1024, 128, 0.25, True),  # rectangular extreme: wide k, unordered
 ]
 
 
@@ -249,3 +251,70 @@ def test_dtype_coverage(rng, op, dtype):
     # bf16 inputs: relative tolerance scaled to magnitudes (~sqrt(k)).
     tol = 0.35 if dtype == jnp.bfloat16 else ATOL
     np.testing.assert_allclose(np.asarray(out, np.float32), exp, atol=tol)
+
+
+@pytest.mark.parametrize("op", ["dsd", "dds", "sdd", "ssd", "sds", "dss"])
+def test_empty_groups_all_ops(rng, op):
+    """Operands/topologies with EMPTY block rows and columns (the
+    reference's generators pad such rows, matrix_utils.cu:272-282): output
+    rows/blocks with no work must come out exactly zero, not stale."""
+    d = 512
+    ones = np.full((BS, BS), 0.5, np.float32)
+    # A: only block-rows {0, 2} populated; block-columns {0, 3} used.
+    a_s = testing.bsr_from_blocks(d, d, [0, 0, 2], [0, 3, 3], np.stack([ones] * 3))
+    b_s = testing.bsr_from_blocks(d, d, [0, 1, 3], [1, 1, 2], np.stack([ones] * 3))
+    topo = testing.bsr_from_blocks(
+        d, d, [0, 1, 3], [0, 2, 3], np.stack([np.ones((BS, BS), np.float32)] * 3)
+    )
+    a_d = jnp.asarray(rng.standard_normal((d, d)).astype(np.float32))
+    b_d = jnp.asarray(rng.standard_normal((d, d)).astype(np.float32))
+    ad = np.asarray(a_s.to_dense(), np.float64)
+    bd = np.asarray(b_s.to_dense(), np.float64)
+    if op == "dsd":
+        out = np.asarray(ops.matmul_dsd(a_s, b_d))
+        exp = ad @ np.asarray(b_d, np.float64)
+    elif op == "dds":
+        out = np.asarray(ops.matmul_dds(a_d, b_s))
+        exp = np.asarray(a_d, np.float64) @ bd
+    elif op == "sdd":
+        out = np.asarray(ops.matmul_sdd(a_d, b_d, topo).data)
+        full = np.asarray(a_d, np.float64) @ np.asarray(b_d, np.float64)
+        exp = np.asarray(reference.extract_blocks(
+            jnp.asarray(full.astype(np.float32)), topo))
+    elif op == "ssd":
+        out = np.asarray(ops.matmul_ssd(a_s, b_d, topo).data)
+        full = ad @ np.asarray(b_d, np.float64)
+        exp = np.asarray(reference.extract_blocks(
+            jnp.asarray(full.astype(np.float32)), topo))
+    elif op == "sds":
+        out = np.asarray(ops.matmul_sds(a_d, b_s, topo).data)
+        full = np.asarray(a_d, np.float64) @ bd
+        exp = np.asarray(reference.extract_blocks(
+            jnp.asarray(full.astype(np.float32)), topo))
+    else:  # dss
+        out = np.asarray(ops.matmul_dss(a_s, b_s))
+        exp = ad @ bd
+    np.testing.assert_allclose(out, np.asarray(exp, np.float32), atol=ATOL)
+
+
+def test_trained_weight_pruning_roundtrip():
+    """Magnitude-pruned TRAINED transformer weights (the DLMC protocol,
+    data/dlmc_weights.npz from utils.dlmc_gen) through SELL SpMM vs the
+    fp64 oracle — heavy-tailed real patterns, not synthetic uniform."""
+    import os
+    path = os.path.join(os.path.dirname(__file__), "..", "data", "dlmc_weights.npz")
+    if not os.path.exists(path):
+        pytest.skip("trained weights not generated")
+    from sputnik_tpu.formats import SellMatrix
+    from sputnik_tpu.ops import csr as csr_ops
+    from sputnik_tpu.utils.dlmc_gen import load_weights, pruned_csr
+
+    w = load_weights(path)
+    c = pruned_csr(w, "attn_q", 0.95)  # (512, 512) @ 95%
+    assert 0.94 < 1 - c.nnz / (512 * 512) < 0.96
+    s = SellMatrix.from_csr(c, chunk="auto", sort_rows=True)
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal((512, 64)).astype(np.float32))
+    out = csr_ops.spmm(s, b)
+    exp = testing.dense_oracle_matmul(np.asarray(c.to_dense()), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(out, np.float32), exp, atol=ATOL)

@@ -97,8 +97,11 @@ def test_causal_fully_masked_row(rng):
     np.testing.assert_allclose(fused, unfused, atol=1e-3)
 
 
-@pytest.mark.parametrize("fused_backward", [True, False])
-@pytest.mark.parametrize("causal", [False, True])
+# (fused+causal, fused+plain, recompute+plain — recompute+causal adds no
+# new code path and interpret-mode grad tests are the suite's slowest.)
+@pytest.mark.parametrize(
+    "fused_backward,causal", [(True, False), (True, True), (False, False)]
+)
 def test_grads_match_unfused(rng, fused_backward, causal):
     t, dh = 256, 128
     topo = attn.band_topology(t, 2, 128, dtype=jnp.float32)
@@ -164,3 +167,43 @@ def test_under_jit_and_vmap(rng):
     np.testing.assert_allclose(
         np.asarray(out[1], np.float32), np.asarray(ref, np.float32), atol=1e-3
     )
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_sdd_softmax_fused_matches_unfused(rng, causal):
+    from sputnik_tpu import ops
+
+    t, dh = 512, 128
+    topo = attn.causal_block_topology(t, 128, window_blocks=3, dtype=jnp.float32)
+    q, k, _ = _qkv(rng, t, dh)
+    fused = ops.sdd_softmax(q, k, topo, causal=causal)
+    unfused = ops.bsr_softmax(
+        ops.matmul_sdd(q, k, topo, transpose_b=True),
+        scale=1.0 / np.sqrt(dh), causal=causal,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused.data, np.float32),
+        np.asarray(unfused.data, np.float32),
+        atol=1e-4,
+    )
+
+
+def test_sdd_softmax_fused_masked_row_and_jit(rng):
+    from sputnik_tpu import ops
+
+    t, dh = 384, 128
+    ones = np.ones((128, 128), np.float32)
+    # block-row 0's only block sits above the diagonal: fully masked row.
+    topo = testing.bsr_from_blocks(
+        t, t, [0, 1, 2], [2, 0, 2], np.stack([ones] * 3)
+    )
+    q, k, _ = _qkv(rng, t, dh)
+
+    @jax.jit
+    def run(q_, k_):
+        return ops.sdd_softmax(q_, k_, topo, causal=True).data
+
+    probs = np.asarray(run(q, k))
+    assert np.all(probs[0] == 0)  # fully masked block-row -> zero probs
+    # row sums of real rows are 1
+    assert abs(probs[1].sum(axis=-1).max() - 1.0) < 1e-4
