@@ -286,133 +286,3 @@ def dds(
     )
     return _mask_empty_groups(out, group_offsets, bs, axis=1, min_hint=min_hint)
 
-
-# ---------------------------------------------------------------------------
-# Grouped stream variant: `group` blocks of one row concatenated along the
-# contraction dim into ONE MXU dot per step. At large n-tiles the base
-# kernel is compute-bound with ~0.2-0.5 us of fixed cost per single-block
-# dot; doubling the work per step amortizes it. Padding slots point at one
-# appended zero block (no masking in-kernel).
-# ---------------------------------------------------------------------------
-
-
-def _plan_grouped(a: BlockSparseMatrix, group: int):
-    """(out_ids, dep_ids, data_ids, n_steps) host-side; rows padded to a
-    multiple of ``group`` with zero-block slots (data id == nnz)."""
-    offs = np.asarray(a.offsets)
-    deps_all = np.asarray(a.indices)
-    nnz = a.nnz_blocks
-    out_ids, deps, datas = [], [], []
-    for row in range(len(offs) - 1):
-        lo, hi = int(offs[row]), int(offs[row + 1])
-        for base in range(lo, hi, group):
-            chunk = list(range(base, min(base + group, hi)))
-            pad = group - len(chunk)
-            out_ids.append(row)
-            deps.extend([int(deps_all[b]) for b in chunk] + [0] * pad)
-            datas.extend(chunk + [nnz] * pad)
-    as_i32 = lambda x: jnp.asarray(np.asarray(x, np.int32))
-    return as_i32(out_ids), as_i32(deps), as_i32(datas), len(out_ids)
-
-
-def _gstream_kernel(
-    out_ids, dep_ids, data_ids,
-    *refs,
-    group: int,
-    n_steps: int,
-    transpose_b: bool,
-):
-    block_refs = refs[:group]
-    panel_refs = refs[group : 2 * group]
-    out_ref = refs[2 * group]
-    acc_ref = refs[2 * group + 1]
-    j = pl.program_id(1)
-    cur = out_ids[j]
-    prev = out_ids[jnp.maximum(j - 1, 0)]
-    nxt = out_ids[jnp.minimum(j + 1, n_steps - 1)]
-    is_first = jnp.logical_or(j == 0, prev != cur)
-    is_last = jnp.logical_or(j == n_steps - 1, nxt != cur)
-
-    @pl.when(is_first)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    lhs = jnp.concatenate(
-        [block_refs[g][0] for g in range(group)], axis=1
-    )  # (bs, group*bs)
-    if transpose_b:  # panels (bn, bs): concat their contraction columns
-        rhs = jnp.concatenate([panel_refs[g][:] for g in range(group)], axis=1)
-        dims = (((1,), (1,)), ((), ()))
-    else:  # panels (bs, bn)
-        rhs = jnp.concatenate([panel_refs[g][:] for g in range(group)], axis=0)
-        dims = (((1,), (0,)), ((), ()))
-    acc_ref[:] += jax.lax.dot_general(
-        lhs, rhs, dims, preferred_element_type=jnp.float32
-    )
-
-    @pl.when(is_last)
-    def _():
-        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
-
-
-def dsd_grouped(
-    a: BlockSparseMatrix,
-    b: jax.Array,
-    *,
-    transpose_a: bool = False,
-    transpose_b: bool = False,
-    out_dtype=None,
-    n_tile: int = 4096,
-    group: int = 2,
-    interpret: bool | None = None,
-) -> jax.Array:
-    """DSD with ``group`` row-blocks per MXU dot (NN / NT; concrete
-    metadata). Transposed A falls back to the base stream kernel."""
-    if transpose_a:
-        raise NotImplementedError("grouped DSD streams natural-order A only")
-    interpret = use_interpret() if interpret is None else interpret
-    out_dtype = out_dtype or a.dtype
-    bs = a.block_size
-    m_dim, k_dim = a.rows, a.cols
-    n_dim = b.shape[0] if transpose_b else b.shape[1]
-    if a.nnz_blocks == 0:
-        return jnp.zeros((m_dim, n_dim), out_dtype)
-    out_ids, dep_ids, data_ids, n_steps = _plan_grouped(a, group)
-    data_pad = jnp.concatenate(
-        [a.data, jnp.zeros((1, bs, bs), a.data.dtype)], axis=0
-    )
-    bn = pick_tile(n_dim, n_tile)
-
-    def a_map(g):
-        return lambda p, j, out, dep, dat: (dat[j * group + g], 0, 0)
-
-    if transpose_b:  # B stored (N, K)
-        def p_map(g):
-            return lambda p, j, out, dep, dat: (p, dep[j * group + g])
-        panel_specs = [pl.BlockSpec((bn, bs), p_map(g)) for g in range(group)]
-    else:  # B stored (K, N)
-        def p_map(g):
-            return lambda p, j, out, dep, dat: (dep[j * group + g], p)
-        panel_specs = [pl.BlockSpec((bs, bn), p_map(g)) for g in range(group)]
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(cdiv(n_dim, bn), n_steps),
-        in_specs=[pl.BlockSpec((1, bs, bs), a_map(g)) for g in range(group)]
-        + panel_specs,
-        out_specs=pl.BlockSpec(
-            (bs, bn), lambda p, j, out, dep, dat: (out[j], p)
-        ),
-        scratch_shapes=[pltpu.VMEM((bs, bn), jnp.float32)],
-    )
-    out = pl.pallas_call(
-        functools.partial(
-            _gstream_kernel, group=group, n_steps=n_steps,
-            transpose_b=transpose_b,
-        ),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((m_dim, n_dim), out_dtype),
-        compiler_params=compiler_params(("parallel", "arbitrary")),
-        interpret=interpret,
-    )(out_ids, dep_ids, data_ids, *([data_pad] * group), *([b] * group))
-    return _mask_empty_groups(out, a.offsets, bs, axis=0, min_hint=a.min_row_nnz)
