@@ -1,4 +1,4 @@
-"""Sparse-saving DSD for small block sizes (32, 64) — packed MXU tiles.
+"""Sparse-saving DSD for small block sizes (16, 32, 64) — packed MXU tiles.
 
 The reference reserves ``BlockSize`` {16, 32, 64} but never wires them
 (``arguments.h:13-19``: only 128 dispatches); round 1 ran them through the
@@ -127,9 +127,10 @@ def dsd_smallblock(
     transpose_b: bool = False,
     out_dtype=None,
     n_tile: int = 2048,
+    schedule=None,  # plan_smallblock(a) result (the MatmulEx discipline)
     interpret: bool | None = None,
 ) -> jax.Array:
-    """C = A_smallblock @ op(B): sparse compute savings at bs in {32, 64}."""
+    """C = A_smallblock @ op(B): sparse compute savings at bs in {16, 32, 64}."""
     if transpose_a:
         raise NotImplementedError("small-block DSD: transposed A falls back")
     interpret = use_interpret() if interpret is None else interpret
@@ -138,7 +139,9 @@ def dsd_smallblock(
     pack = SUPER // bs
     m_dim, k_dim = a.rows, a.cols
     n_dim = b.shape[0] if transpose_b else b.shape[1]
-    out_ids, subs, deps, datas, n_steps, row_counts = plan_smallblock(a)
+    out_ids, subs, deps, datas, n_steps, row_counts = (
+        schedule if schedule is not None else plan_smallblock(a)
+    )
     if n_steps == 0:
         return jnp.zeros((m_dim, n_dim), out_dtype)
     # One zero block appended: padding slots fetch it and contribute 0.

@@ -100,13 +100,13 @@ registry.register("dsd", "pallas_pipelined", lambda *a, **k: False, bsr_dsd_pipe
 
 
 def _dsd_small_can(a, b, transpose_a=False, transpose_b=False, out_dtype=None, **kw):
-    """Packed small-block DSD (bs 32/64): the sparse-saving path for the
+    """Packed small-block DSD (bs 16/32/64): the sparse-saving path for the
     block sizes the reference reserved but never wired (arguments.h:13-19).
     Needs concrete metadata (host-planned packing) and MXU-aligned dims."""
     n_dim = b.shape[0] if transpose_b else b.shape[1]
     k_dim = b.shape[1] if transpose_b else b.shape[0]
     return (
-        a.block_size in (32, 64)
+        a.block_size in (16, 32, 64)
         and not transpose_a
         and a.nnz_blocks > 0
         and n_dim % 128 == 0

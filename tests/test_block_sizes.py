@@ -89,10 +89,10 @@ def test_bitmask_and_is_dss_intersection(rng):
     del ma, mb
 
 
-@pytest.mark.parametrize("bs", [32, 64])
+@pytest.mark.parametrize("bs", [16, 32, 64])
 @pytest.mark.parametrize("tb", [False, True])
 def test_smallblock_packed_dsd(rng, bs, tb):
-    """bs in {32, 64} now dispatches to the PACKED sparse-saving kernel
+    """bs in {16, 32, 64} now dispatches to the PACKED sparse-saving kernel
     (pack = 128/bs blocks per MXU dot) instead of densifying — the
     capability the reference reserved via BlockSize but never wired."""
     from sputnik_tpu.ops import registry
