@@ -61,78 +61,77 @@ def run(n: int, chain: int = 8, runs: int = 3, weights_path: str | None = None):
     rng = np.random.default_rng(3)
     rows_out = []
     for label, rows, cols, sp, c in _configs(weights_path):
-        if True:
-            nnz = int(c.nnz)
-            if nnz == 0:
-                continue
-            # Production setting: sorted rows (the SortedRowSwizzle) tighten
-            # the per-tile slot bounds on skewed row-length distributions;
-            # chunk="auto" narrows the column chunks at very high sparsity.
-            s = SellMatrix.from_csr(c, chunk="auto", sort_rows=True)
-            b = jnp.asarray(rng.standard_normal((cols, n)).astype(np.float32))
-            try:
-                m = device_time(
-                    lambda s_, b_: csr_ops.spmm(s_, b_),
-                    s, b, chain=chain, runs=runs, perturb_index=1,
-                )
-                t = m["time_s"]
-                sol_t = (nnz * (n + 1) * 4 + cols * n * 4) / PEAK_HBM_BPS
-                rows_out.append({
-                    "op": "spmm", "shape": [rows, cols], "sparsity": sp,
-                    "matrix": label, "nnz": nnz, "time_us": t * 1e6,
-                    "gflops": 2 * nnz * n / t / 1e9,
-                    "gnnz_per_s": nnz / t / 1e9,
-                    "frac_sol": sol_t / t, "timing": m["timing"],
-                })
-            except Exception as e:
-                rows_out.append({"op": "spmm", "shape": [rows, cols],
-                                 "sparsity": sp, "error": str(e)[:120]})
-            # Dense-mirror path (static weight matrices): SpMM as one MXU
-            # matmul — at DLMC's small shapes this is the production answer
-            # whenever the matrix is static and dense storage fits; the
-            # registry picks it via CsrMatrix.with_dense_mirror().
-            try:
-                cm = c.with_dense_mirror()
-                # roll perturbation: pure jnp.dot chains get hoisted by
-                # XLA under additive/slice perturbations.
-                m = device_time(
-                    lambda c_, b_: csr_ops.spmm(c_, b_),
-                    cm, b, chain=chain, runs=runs, perturb_index=1,
-                    perturb_mode="roll",
-                )
-                t = m["time_s"]
-                sol_t = (nnz * (n + 1) * 4 + cols * n * 4) / PEAK_HBM_BPS
-                rows_out.append({
-                    "op": "spmm_mirror", "shape": [rows, cols], "sparsity": sp,
-                    "matrix": label, "nnz": nnz, "time_us": t * 1e6,
-                    "gflops": 2 * nnz * n / t / 1e9,
-                    "gnnz_per_s": nnz / t / 1e9,
-                    "frac_sol": sol_t / t, "timing": m["timing"],
-                })
-            except Exception as e:
-                rows_out.append({"op": "spmm_mirror", "shape": [rows, cols],
-                                 "sparsity": sp, "error": str(e)[:120]})
-            # SDDMM at the same pattern (attention-score shape, k = n).
-            q = jnp.asarray(rng.standard_normal((rows, n)).astype(np.float32))
-            k = jnp.asarray(rng.standard_normal((cols, n)).astype(np.float32))
-            try:
-                m = device_time(
-                    lambda q_, k_: csr_ops.sddmm(q_, k_, s).values,
-                    q, k, chain=chain, runs=runs, perturb_index=0,
-                )
-                t = m["time_s"]
-                sol_t = (nnz * (2 * n + 1) * 4) / PEAK_HBM_BPS
-                rows_out.append({
-                    "op": "sddmm", "shape": [rows, cols], "sparsity": sp,
-                    "matrix": label, "nnz": nnz, "time_us": t * 1e6,
-                    "gflops": 2 * nnz * n / t / 1e9,
-                    "gnnz_per_s": nnz / t / 1e9,
-                    "frac_sol": sol_t / t, "timing": m["timing"],
-                })
-            except Exception as e:
-                rows_out.append({"op": "sddmm", "shape": [rows, cols],
-                                 "sparsity": sp, "error": str(e)[:120]})
-            print(f"# done {label} {rows}x{cols} @ {sp}", file=sys.stderr)
+        nnz = int(c.nnz)
+        if nnz == 0:
+            continue
+        # Production setting: sorted rows (the SortedRowSwizzle) tighten
+        # the per-tile slot bounds on skewed row-length distributions;
+        # chunk="auto" narrows the column chunks at very high sparsity.
+        s = SellMatrix.from_csr(c, chunk="auto", sort_rows=True)
+        b = jnp.asarray(rng.standard_normal((cols, n)).astype(np.float32))
+        try:
+            m = device_time(
+                lambda s_, b_: csr_ops.spmm(s_, b_),
+                s, b, chain=chain, runs=runs, perturb_index=1,
+            )
+            t = m["time_s"]
+            sol_t = (nnz * (n + 1) * 4 + cols * n * 4) / PEAK_HBM_BPS
+            rows_out.append({
+                "op": "spmm", "shape": [rows, cols], "sparsity": sp,
+                "matrix": label, "nnz": nnz, "time_us": t * 1e6,
+                "gflops": 2 * nnz * n / t / 1e9,
+                "gnnz_per_s": nnz / t / 1e9,
+                "frac_sol": sol_t / t, "timing": m["timing"],
+            })
+        except Exception as e:
+            rows_out.append({"op": "spmm", "shape": [rows, cols],
+                             "sparsity": sp, "error": str(e)[:120]})
+        # Dense-mirror path (static weight matrices): SpMM as one MXU
+        # matmul — at DLMC's small shapes this is the production answer
+        # whenever the matrix is static and dense storage fits; the
+        # registry picks it via CsrMatrix.with_dense_mirror().
+        try:
+            cm = c.with_dense_mirror()
+            # roll perturbation: pure jnp.dot chains get hoisted by
+            # XLA under additive/slice perturbations.
+            m = device_time(
+                lambda c_, b_: csr_ops.spmm(c_, b_),
+                cm, b, chain=chain, runs=runs, perturb_index=1,
+                perturb_mode="roll",
+            )
+            t = m["time_s"]
+            sol_t = (nnz * (n + 1) * 4 + cols * n * 4) / PEAK_HBM_BPS
+            rows_out.append({
+                "op": "spmm_mirror", "shape": [rows, cols], "sparsity": sp,
+                "matrix": label, "nnz": nnz, "time_us": t * 1e6,
+                "gflops": 2 * nnz * n / t / 1e9,
+                "gnnz_per_s": nnz / t / 1e9,
+                "frac_sol": sol_t / t, "timing": m["timing"],
+            })
+        except Exception as e:
+            rows_out.append({"op": "spmm_mirror", "shape": [rows, cols],
+                             "sparsity": sp, "error": str(e)[:120]})
+        # SDDMM at the same pattern (attention-score shape, k = n).
+        q = jnp.asarray(rng.standard_normal((rows, n)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((cols, n)).astype(np.float32))
+        try:
+            m = device_time(
+                lambda q_, k_: csr_ops.sddmm(q_, k_, s).values,
+                q, k, chain=chain, runs=runs, perturb_index=0,
+            )
+            t = m["time_s"]
+            sol_t = (nnz * (2 * n + 1) * 4) / PEAK_HBM_BPS
+            rows_out.append({
+                "op": "sddmm", "shape": [rows, cols], "sparsity": sp,
+                "matrix": label, "nnz": nnz, "time_us": t * 1e6,
+                "gflops": 2 * nnz * n / t / 1e9,
+                "gnnz_per_s": nnz / t / 1e9,
+                "frac_sol": sol_t / t, "timing": m["timing"],
+            })
+        except Exception as e:
+            rows_out.append({"op": "sddmm", "shape": [rows, cols],
+                             "sparsity": sp, "error": str(e)[:120]})
+        print(f"# done {label} {rows}x{cols} @ {sp}", file=sys.stderr)
     return rows_out
 
 

@@ -76,6 +76,7 @@ def run(rows_per_shard: int, density: float, n: int, shard_counts, use_cpu: bool
             {
                 "shards": s,
                 "rows": rows,
+                "cols": cols,
                 "nnz": nnz,
                 "wall_s": t,
                 "per_shard_nnz": nnz // s,
@@ -89,7 +90,7 @@ def run(rows_per_shard: int, density: float, n: int, shard_counts, use_cpu: bool
             # Analytic ICI model for the one collective (dense all-gather,
             # bidirectional ring): t_comm = (S-1)/S * |B| / bw.
             s = r["shards"]
-            bsz = (max(128 * 8, 1024)) * n * 4
+            bsz = r["cols"] * n * 4  # the all-gathered dense operand
             t_comm = (s - 1) / s * bsz / (45e9)
             r["efficiency_model_ici"] = t1 / (t1 + t_comm)
             if one_core:

@@ -126,6 +126,7 @@ def fused_group_ffn(
     activation: str = "gelu",
     out_dtype=None,
     ff_group: int | None = None,
+    plan=None,  # plan_group_ffn(topology) result, to avoid re-planning
     interpret: bool | None = None,
 ) -> jax.Array:
     """y = act(SDD(x, w1, topology)) @ w2 for group-structured topologies.
@@ -137,7 +138,8 @@ def fused_group_ffn(
     """
     interpret = use_interpret() if interpret is None else interpret
     out_dtype = out_dtype or x.dtype
-    plan = plan_group_ffn(topology)
+    if plan is None:
+        plan = plan_group_ffn(topology)
     if plan is None:
         raise ValueError(
             "fused_group_ffn needs a group-structured topology (equal-size "

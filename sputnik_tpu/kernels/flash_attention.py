@@ -328,9 +328,9 @@ def sdd_softmax_fused(
     transpose_b=True), scale=scale, causal=causal)``.
     """
     interpret = use_interpret() if interpret is None else interpret
-    if scale is None:
-        scale = 1.0 / float(np.sqrt(q.shape[-1]))
-    scale = float(scale)
+    # NOTE: unlike the attention entry points, None means NO scaling here —
+    # matching bsr_softmax (ops.sdd_softmax documents this contract).
+    scale = 1.0 if scale is None else float(scale)
     out_dtype = out_dtype or topology.dtype
     bs = topology.block_size
     t = q.shape[0]
@@ -727,8 +727,10 @@ def _backward(q, k, v, out, lse, g, topology: BlockSparseMatrix, scale,
     )(rows, cols, flags, q, g, lse, dvec, *([k] * group), *([v] * group))
     dq = _zero_empty_rows(dq, topology)
 
-    # --- dK/dV: column-major iteration ---
-    cols_t, rows_t, flags_t, group_t, n_steps_t = _plan_t(topology)
+    # --- dK/dV: column-major iteration (transpose metadata built once,
+    # shared by the plan and the empty-column zeroing below) ---
+    topo_t = topology.with_transpose_metadata()
+    cols_t, rows_t, flags_t, group_t, n_steps_t = _plan_t(topo_t)
     colstep_map = lambda j, cols_, rows_, fl_: (cols_[j], 0)
 
     def row_map_t(gg):
@@ -761,7 +763,7 @@ def _backward(q, k, v, out, lse, g, topology: BlockSparseMatrix, scale,
     )(cols_t, rows_t, flags_t, k, v, *([q] * group_t), *([g] * group_t),
       *([lse] * group_t), *([dvec] * group_t))
     # Columns with no topology blocks never get written: zero them.
-    offs_t = topology.with_transpose_metadata().offsets_t
+    offs_t = topo_t.offsets_t
     dk = _zero_empty_groups(dk, offs_t, bs)
     dv = _zero_empty_groups(dv, offs_t, bs)
     return dq, dk, dv

@@ -233,14 +233,20 @@ def spmm(
     if variant is None:
         variant, tr = _pick_variant(a, n)
     else:
-        tr = row_tile or _TR
-        if variant == "fused" and not _fused_fits(a, n, tr):
+        tr = _TR
+    if row_tile is not None:
+        tr = row_tile
+    if variant == "fused":
+        if a.rows_padded % tr != 0:
+            raise ValueError(
+                f"fused spmm row_tile {tr} must divide rows_padded "
+                f"{a.rows_padded}"
+            )
+        if not _fused_fits(a, n, tr):
             raise ValueError(
                 f"fused spmm variant does not fit VMEM at n={n}, tr={tr} "
                 f"(width={a.width}, n_chunks={a.n_chunks})"
             )
-    if row_tile is not None:
-        tr = row_tile
     if variant == "fused":
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,

@@ -128,7 +128,7 @@ def _unfused_bsr_ffn(x_perm, w1, w2, cfg: MoEConfig, topology):
     return ops.dsd(h, w2)  # (EC, d)
 
 
-def _fused_bsr_ffn(x_perm, w1, w2, cfg: MoEConfig, topology):
+def _fused_bsr_ffn(x_perm, w1, w2, cfg: MoEConfig, topology, *, plan=None):
     """Differentiable fused FFN: forward through the one-kernel fused path,
     backward recomputed through the unfused sparse chain (every gradient
     stays sparse — the flash-attention trade applied to the FFN)."""
@@ -137,7 +137,8 @@ def _fused_bsr_ffn(x_perm, w1, w2, cfg: MoEConfig, topology):
     @jax.custom_vjp
     def f(x_, w1_, w2_):
         return fused_group_ffn(
-            x_, w1_, w2_, topology, activation="gelu", out_dtype=cfg.dtype
+            x_, w1_, w2_, topology, activation="gelu", out_dtype=cfg.dtype,
+            plan=plan,
         )
 
     def fwd(x_, w1_, w2_):
@@ -204,9 +205,11 @@ def moe_forward(
         # chain for irregular topologies.
         from sputnik_tpu.kernels.bsr_ffn import plan_group_ffn
 
-        if plan_group_ffn(topology) is not None:
+        ffn_plan = plan_group_ffn(topology)
+        if ffn_plan is not None:
             y_perm = _fused_bsr_ffn(
-                x_perm, params["w1"], params["w2"], cfg, topology
+                x_perm, params["w1"], params["w2"], cfg, topology,
+                plan=ffn_plan,
             )
         else:
             y_perm = _unfused_bsr_ffn(

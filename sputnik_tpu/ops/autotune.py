@@ -95,13 +95,27 @@ def _signature(op: str, args, kwargs) -> str:
             continue
         if isinstance(v, (bool, int, float, str)):
             sig.append((k, v))
+        else:
+            # dtype-likes (out_dtype=jnp.bfloat16 etc.) must distinguish
+            # cache entries; anything unhashable-to-a-dtype is skipped.
+            try:
+                import jax.numpy as jnp
+
+                sig.append((k, str(jnp.dtype(v))))
+            except Exception:
+                pass
     return "|".join(map(str, sig))
 
 
 def cached_variant(op: str, args, kwargs) -> Optional[str]:
     """Tuned winner for this problem signature, or None (cache only — never
-    measures; safe to call at trace time with tracer operands)."""
-    return _load_cache().get(_signature(op, args, kwargs))
+    measures; safe to call at trace time with tracer operands). Returns
+    immediately when the cache is empty, keeping the untuned dispatch
+    hot path free of signature-hashing cost."""
+    cache = _load_cache()
+    if not cache:
+        return None
+    return cache.get(_signature(op, args, kwargs))
 
 
 def benchmark_variants(op: str, *args, chain: int = 8, runs: int = 3, **kwargs):

@@ -30,6 +30,20 @@ class KernelVariant:
 
 _REGISTRY: Dict[str, List[KernelVariant]] = {}
 
+_AUTOTUNE_MODULE = None
+
+
+def _autotune_module():
+    """Import the autotune MODULE once (the ops package re-exports an
+    `autotune` FUNCTION that shadows the module name, so attribute-style
+    imports grab the wrong object; cached to keep dispatch cheap)."""
+    global _AUTOTUNE_MODULE
+    if _AUTOTUNE_MODULE is None:
+        import importlib
+
+        _AUTOTUNE_MODULE = importlib.import_module("sputnik_tpu.ops.autotune")
+    return _AUTOTUNE_MODULE
+
 
 def register(op: str, name: str, can_implement, launch, *, index: int | None = None):
     variants = _REGISTRY.setdefault(op, [])
@@ -55,14 +69,7 @@ def dispatch(op: str, *args, variant: str | None = None, **kwargs):
     # Tuned winner first (the reference's "TODO: do something smarter",
     # cutlass/dsd.cu:57-74): consult the persistent autotune cache by
     # problem signature; stale entries fall through to first-fit.
-    # (importlib: the ops package re-exports an `autotune` FUNCTION that
-    # shadows the module name, so attribute-style imports grab the wrong
-    # object.)
-    import importlib
-
-    _autotune = importlib.import_module("sputnik_tpu.ops.autotune")
-
-    tuned = _autotune.cached_variant(op, args, kwargs)
+    tuned = _autotune_module().cached_variant(op, args, kwargs)
     if tuned is not None:
         for v in variants:
             if v.name == tuned:

@@ -34,12 +34,16 @@ def sdd_softmax(
 
     One Pallas score pass + fused normalize epilogue (scores cross HBM
     twice vs four passes unfused); semantics identical to
-    ``bsr_softmax(matmul_sdd(q, k, topology, transpose_b=True), ...)``.
+    ``bsr_softmax(matmul_sdd(q, k, topology, transpose_b=True),
+    scale=scale, ...)`` — in particular ``scale=None`` applies NO scaling,
+    exactly like :func:`bsr_softmax` (attention callers pass
+    ``1/sqrt(dh)`` explicitly).
     """
     from sputnik_tpu.kernels.flash_attention import sdd_softmax_fused
 
     return sdd_softmax_fused(
-        q, k, topology, scale=scale, causal=causal, out_dtype=out_dtype
+        q, k, topology, scale=1.0 if scale is None else scale,
+        causal=causal, out_dtype=out_dtype,
     )
 
 

@@ -176,10 +176,21 @@ def test_sdd_softmax_fused_matches_unfused(rng, causal):
     t, dh = 512, 128
     topo = attn.causal_block_topology(t, 128, window_blocks=3, dtype=jnp.float32)
     q, k, _ = _qkv(rng, t, dh)
-    fused = ops.sdd_softmax(q, k, topo, causal=causal)
+    scale = 1.0 / np.sqrt(dh)
+    fused = ops.sdd_softmax(q, k, topo, scale=scale, causal=causal)
     unfused = ops.bsr_softmax(
         ops.matmul_sdd(q, k, topo, transpose_b=True),
-        scale=1.0 / np.sqrt(dh), causal=causal,
+        scale=scale, causal=causal,
+    )
+    # scale=None means NO scaling, exactly like bsr_softmax:
+    noscale_f = ops.sdd_softmax(q, k, topo, causal=causal)
+    noscale_u = ops.bsr_softmax(
+        ops.matmul_sdd(q, k, topo, transpose_b=True), causal=causal
+    )
+    np.testing.assert_allclose(
+        np.asarray(noscale_f.data, np.float32),
+        np.asarray(noscale_u.data, np.float32),
+        atol=1e-4,
     )
     np.testing.assert_allclose(
         np.asarray(fused.data, np.float32),
