@@ -102,6 +102,13 @@ def run(d_model: int, d_ff: int, n_experts: int, tokens: int, dtype_name: str):
         moe_flops,
         1,
     )
+    add(
+        "moe_dropless_bsr_fused",
+        lambda p, x_: models.dropless_moe_forward(p, x_, cfg, impl="bsr_fused")[0],
+        (params, x),
+        moe_flops,
+        1,
+    )
     base = results[0]["time_us"]
     for r in results:
         r["speedup_vs_dense"] = base / r["time_us"]

@@ -194,3 +194,103 @@ def fused_group_ffn(
         compiler_params=compiler_params(("parallel", "arbitrary")),
         interpret=interpret,
     )(cols_flat, x, *([w1] * ff_group), *([w2] * ff_group))
+
+
+def _dropless_kernel(e_ref, *refs, n_steps: int, f_blocks: int,
+                     ff_group: int, act):
+    x_ref = refs[0]
+    w1_refs = refs[1 : 1 + ff_group]
+    w2_refs = refs[1 + ff_group : 1 + 2 * ff_group]
+    out_ref = refs[1 + 2 * ff_group]
+    acc_ref = refs[2 + 2 * ff_group]
+    del e_ref  # consumed by the index maps
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w1_strip = (
+        jnp.concatenate([w1_refs[g][:] for g in range(ff_group)], axis=1)
+        if ff_group > 1 else w1_refs[0][:]
+    )
+    h = jax.lax.dot_general(
+        x_ref[:], w1_strip, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    h = act(h).astype(x_ref.dtype)
+    w2_strip = (
+        jnp.concatenate([w2_refs[g][:] for g in range(ff_group)], axis=0)
+        if ff_group > 1 else w2_refs[0][:]
+    )
+    acc_ref[:] += jax.lax.dot_general(
+        h, w2_strip, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == n_steps - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def fused_dropless_ffn(
+    x: jax.Array,  # (t_pad, d_model) — expert-grouped, zero-padded rows
+    w1: jax.Array,  # (d_model, n_experts * d_ff)
+    w2: jax.Array,  # (n_experts * d_ff, d_model)
+    expert_of_row: jax.Array,  # (t_pad // tile_rows,) int32, TRACED is fine
+    d_ff: int,
+    *,
+    bs: int = 128,
+    tile_rows: int | None = None,  # x rows per grid step (multiple of bs);
+    # wider tiles amortize the per-tile W strip fetches (expert groups must
+    # be padded to tile_rows-multiples by the caller)
+    activation: str = "gelu",
+    out_dtype=None,
+    ff_group: int | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Dropless MoE FFN in one kernel: the block-diagonal topology is
+    DATA-DEPENDENT (``expert_of_row`` is rebuilt on device every step —
+    MegaBlocks' dropless construction) and consumed through scalar
+    prefetch, so group sizes never touch Python. Each 128-row tile reads
+    its expert's W strips directly; zero-padded rows produce zeros
+    (gelu(0) = 0). Static shapes throughout: XLA-safe under jit.
+    """
+    interpret = use_interpret() if interpret is None else interpret
+    out_dtype = out_dtype or x.dtype
+    t_pad, d_model = x.shape
+    tr = tile_rows or bs
+    f_blocks = d_ff // bs
+    if ff_group is None:
+        ff_group = next(g for g in (4, 2, 1) if f_blocks % g == 0)
+    n_steps = f_blocks // ff_group
+    n_rows = t_pad // tr
+    act = _ACTS[activation]
+
+    def w1_map(g):
+        return lambda r, j, e: (0, e[r] * f_blocks + j * ff_group + g)
+
+    def w2_map(g):
+        return lambda r, j, e: (e[r] * f_blocks + j * ff_group + g, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_rows, n_steps),
+        in_specs=[
+            pl.BlockSpec((tr, d_model), lambda r, j, e: (r, 0)),
+            *[pl.BlockSpec((d_model, bs), w1_map(g)) for g in range(ff_group)],
+            *[pl.BlockSpec((bs, d_model), w2_map(g)) for g in range(ff_group)],
+        ],
+        out_specs=pl.BlockSpec((tr, d_model), lambda r, j, e: (r, 0)),
+        scratch_shapes=[pltpu.VMEM((tr, d_model), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _dropless_kernel, n_steps=n_steps, f_blocks=f_blocks,
+            ff_group=ff_group, act=act,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t_pad, d_model), out_dtype),
+        compiler_params=compiler_params(("parallel", "arbitrary")),
+        interpret=interpret,
+    )(expert_of_row.astype(jnp.int32), x, *([w1] * ff_group), *([w2] * ff_group))

@@ -272,6 +272,48 @@ def dropless_topology(expert_rows: jax.Array, cfg: MoEConfig, max_block_rows: in
     )
 
 
+def _int_cotangent(x):
+    return np.zeros(np.shape(x), jax.dtypes.float0)
+
+
+def _fused_dropless_diff(x_perm, w1, w2, e_of_row, expert_rows,
+                         cfg: MoEConfig, max_block_rows: int):
+    """Differentiable fused dropless FFN: forward through the one-kernel
+    path, backward recomputed through the unfused traced-topology chain
+    (every gradient sparse)."""
+    from sputnik_tpu.kernels.bsr_ffn import fused_dropless_ffn
+
+    @jax.custom_vjp
+    def f(x_, w1_, w2_, e_row_, e_rows_):
+        del e_rows_
+        return fused_dropless_ffn(
+            x_, w1_, w2_, e_row_, cfg.d_ff, bs=cfg.block_size,
+            tile_rows=x_.shape[0] // e_row_.shape[0],
+            activation="gelu", out_dtype=cfg.dtype,
+        )
+
+    def fwd(x_, w1_, w2_, e_row_, e_rows_):
+        return f(x_, w1_, w2_, e_row_, e_rows_), (x_, w1_, w2_, e_row_, e_rows_)
+
+    def bwd(res, g):
+        x_, w1_, w2_, e_row_, e_rows_ = res
+        topo = dropless_topology(e_rows_, cfg, max_block_rows)
+
+        def unfused(x2, w12, w22):
+            h = ops.sdd(x2, w12, topo)
+            h = h.with_data(
+                jax.nn.gelu(h.data.astype(jnp.float32)).astype(cfg.dtype)
+            )
+            return ops.dsd(h, w22)
+
+        _, vjp = jax.vjp(unfused, x_, w1_, w2_)
+        dx, dw1, dw2 = vjp(g.astype(cfg.dtype))
+        return dx, dw1, dw2, _int_cotangent(e_row_), _int_cotangent(e_rows_)
+
+    f.defvjp(fwd, bwd)
+    return f(x_perm, w1, w2, e_of_row, expert_rows)
+
+
 def dropless_moe_forward(
     params: Dict[str, jax.Array],
     x: jax.Array,  # (tokens, d_model)
@@ -289,7 +331,11 @@ def dropless_moe_forward(
     t = x.shape[0]
     bs = cfg.block_size
     e = cfg.n_experts
-    max_block_rows = -(-t // bs) + e  # static bound on padded block rows
+    # bsr_fused pads expert groups to row_group block rows: wider kernel
+    # tiles amortize the per-tile W strip fetches (measured 2x less W
+    # traffic at row_group=2).
+    row_group = 2 if impl == "bsr_fused" else 1
+    max_block_rows = (-(-t // bs) // row_group + e) * row_group  # static
     t_pad = max_block_rows * bs
 
     logits = x.astype(jnp.float32) @ params["router"]
@@ -299,6 +345,8 @@ def dropless_moe_forward(
     onehot = jax.nn.one_hot(expert, e, dtype=jnp.int32)
     counts = jnp.sum(onehot, axis=0)
     expert_rows = -(-counts // bs)  # padded block rows per expert (traced)
+    if row_group > 1:
+        expert_rows = -(-expert_rows // row_group) * row_group
     group_start = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(expert_rows[:-1]).astype(jnp.int32)]
     ) * bs
@@ -323,8 +371,28 @@ def dropless_moe_forward(
         h = ops.sdd(x_perm, params["w1"], topo)
         h = h.with_data(jax.nn.gelu(h.data.astype(jnp.float32)).astype(cfg.dtype))
         y_perm = ops.dsd(h, params["w2"])
+    elif impl == "bsr_fused":
+        # ONE kernel; the variable block-diagonal topology is consumed as
+        # the TRACED per-row expert id (scalar prefetch) — true dropless
+        # with per-step on-device topology, MegaBlocks' headline case.
+        bounds = jnp.cumsum(expert_rows)
+        # expert id per KERNEL TILE (row_group block rows each; groups are
+        # padded to row_group multiples so tiles never straddle experts).
+        tile_first_row = jnp.arange(
+            max_block_rows // row_group, dtype=jnp.int32
+        ) * row_group
+        e_of_row = jnp.searchsorted(
+            bounds, tile_first_row, side="right"
+        ).astype(jnp.int32)
+        e_of_row = jnp.minimum(e_of_row, e - 1)
+        y_perm = _fused_dropless_diff(
+            x_perm, params["w1"], params["w2"], e_of_row, expert_rows,
+            cfg, max_block_rows,
+        )
     else:
-        raise ValueError(f"impl must be 'ragged' or 'bsr', got {impl!r}")
+        raise ValueError(
+            f"impl must be 'ragged', 'bsr' or 'bsr_fused', got {impl!r}"
+        )
 
     y = jnp.take(y_perm, dest, axis=0).astype(jnp.float32) * prob[:, None]
     me = jnp.mean(probs, axis=0)

@@ -141,7 +141,7 @@ def test_moe_train_step_decreases_loss(rng, cfg):
     assert np.isfinite(losses).all()
 
 
-@pytest.mark.parametrize("impl", ["ragged", "bsr"])
+@pytest.mark.parametrize("impl", ["ragged", "bsr", "bsr_fused"])
 def test_dropless_moe_matches_dense(rng, impl):
     cfg = models.MoEConfig(
         d_model=128, d_ff=128, n_experts=4, capacity=128, dtype=jnp.float32
@@ -173,7 +173,7 @@ def test_dropless_moe_matches_dense(rng, impl):
     np.testing.assert_allclose(np.asarray(y, np.float32), exp, atol=5e-2, rtol=5e-2)
 
 
-@pytest.mark.parametrize("impl", ["ragged", "bsr"])
+@pytest.mark.parametrize("impl", ["ragged", "bsr_fused"])
 def test_dropless_moe_grads(rng, impl):
     cfg = models.MoEConfig(
         d_model=128, d_ff=128, n_experts=2, capacity=128, dtype=jnp.float32
