@@ -64,17 +64,25 @@ def sharded_block_sparse_attention(
     kv_replicated: bool = True,
     causal: bool = False,
     scale: Optional[float] = None,
+    fused: bool = True,
 ) -> jax.Array:
     """Sequence-parallel single-head block-sparse attention.
 
     Returns the attention output sharded over the query dimension like
     ``q``. Compute per device ~ O(local nnz_blocks * 128^2 * dh); comm is
     zero (replicated K/V) or one K/V all-gather (sequence-sharded K/V).
+
+    ``fused=True`` runs each device's local chain through ONE flash
+    band-fold kernel (scores never materialize; exact elementwise causal
+    at global coordinates); ``fused=False`` keeps the verified unfused
+    SDD -> softmax -> DSD chain.
     """
     if scale is None:
         scale = 1.0 / float(np.sqrt(q.shape[-1]))
     n_shards = topology.n_shards
     local_block_rows = (topology.shape[0] // n_shards) // topology.block_size
+    bs = topology.block_size
+    dh = q.shape[-1]
 
     def local(q_l, k_l, v_l, data, offsets, indices, row_indices, vc):
         topo_l = _local_bsr(topology, data, offsets, indices, row_indices)
@@ -83,6 +91,30 @@ def sharded_block_sparse_attention(
         else:
             k_full = jax.lax.all_gather(k_l, axis, axis=0, tiled=True)
             v_full = jax.lax.all_gather(v_l, axis, axis=0, tiled=True)
+        if fused:
+            from sputnik_tpu.kernels.flash_attention import flash_band_fold
+
+            t_local = q_l.shape[0]
+            shard = jax.lax.axis_index(axis)
+            nnz_local = topo_l.data.shape[0]
+            flags = (
+                jnp.arange(nnz_local, dtype=jnp.int32) < vc[0]
+            ).astype(jnp.int32)
+            state = (
+                jnp.zeros((t_local, dh), jnp.float32),
+                jnp.full((t_local, 128), -1e30, jnp.float32),
+                jnp.zeros((t_local, 128), jnp.float32),
+            )
+            acc, _m, l = flash_band_fold(
+                q_l, k_full, v_full,
+                topo_l.row_indices, topo_l.indices, flags,
+                state, bs=bs, scale=scale, causal=causal,
+                row_offset_blocks=shard * local_block_rows,
+                col_offset_blocks=0,
+            )
+            l_col = l[:, 0:1]
+            out = acc / jnp.maximum(l_col, 1e-30)
+            return jnp.where(l_col > 0, out, 0.0).astype(q_l.dtype)
         scores = matmul_sdd(q_l, k_full, topo_l, transpose_b=True)
         # Shard-padding blocks are duplicate slots: SDD WRITES scores into
         # them, which would double-count in the row softmax. Mask to -inf

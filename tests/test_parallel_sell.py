@@ -74,6 +74,14 @@ def test_sharded_attention(rng, mesh, kv_replicated):
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(expected, np.float32), atol=ATOL
     )
+    # The unfused local chain (the verified round-1 path) must agree.
+    out_u = parallel.sharded_block_sparse_attention(
+        q, k, v, sharded_topo, mesh, kv_replicated=kv_replicated, fused=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_u, np.float32), np.asarray(expected, np.float32),
+        atol=ATOL,
+    )
 
 
 def test_sharded_attention_causal(rng, mesh):
