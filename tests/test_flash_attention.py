@@ -218,3 +218,30 @@ def test_sdd_softmax_fused_masked_row_and_jit(rng):
     assert np.all(probs[0] == 0)  # fully masked block-row -> zero probs
     # row sums of real rows are 1
     assert abs(probs[1].sum(axis=-1).max() - 1.0) < 1e-4
+
+
+def test_vmapped_fused_backward(rng):
+    """Multi-head training: grads through the fused flash-2 backward under
+    vmap (the production multi-head path)."""
+    t, dh, h = 256, 128, 3
+    topo = attn.band_topology(t, 2, 128, dtype=jnp.float32)
+    q = jnp.asarray(rng.standard_normal((h, t, dh)).astype(np.float32))
+
+    @jax.jit
+    def loss(q_):
+        out = jax.vmap(
+            lambda x: flash_block_attention(x, x, x, topo, causal=True)
+        )(q_)
+        return jnp.sum(out ** 2)
+
+    def loss_u(q_):
+        out = jax.vmap(
+            lambda x: attn.block_sparse_attention(x, x, x, topo, causal=True)
+        )(q_)
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(q)
+    gu = jax.grad(loss_u)(q)
+    np.testing.assert_allclose(
+        np.asarray(g, np.float32), np.asarray(gu, np.float32), atol=1e-2
+    )
