@@ -94,7 +94,7 @@ def test_sdd(rng, m, k, n, density, unordered, ta, tb):
 
 
 @pytest.mark.parametrize("ta,tb", MODES)
-@pytest.mark.parametrize("m,k,n,density,unordered", PROBLEMS[2:])
+@pytest.mark.parametrize("m,k,n,density,unordered", PROBLEMS[2:7])
 def test_ssd(rng, m, k, n, density, unordered, ta, tb):
     a_shape, b_shape = _dims(m, k, n, ta, tb)
     a = _mk_sparse(rng, *a_shape, density, unordered)
@@ -113,7 +113,7 @@ def test_ssd(rng, m, k, n, density, unordered, ta, tb):
 
 
 @pytest.mark.parametrize("ta,tb", MODES)
-@pytest.mark.parametrize("m,k,n,density,unordered", PROBLEMS[2:])
+@pytest.mark.parametrize("m,k,n,density,unordered", PROBLEMS[2:7])
 def test_sds(rng, m, k, n, density, unordered, ta, tb):
     a_shape, b_shape = _dims(m, k, n, ta, tb)
     a = jnp.asarray(rng.standard_normal(a_shape).astype(np.float32))
@@ -132,7 +132,7 @@ def test_sds(rng, m, k, n, density, unordered, ta, tb):
 
 
 @pytest.mark.parametrize("ta,tb", MODES)
-@pytest.mark.parametrize("m,k,n,density,unordered", PROBLEMS[2:])
+@pytest.mark.parametrize("m,k,n,density,unordered", PROBLEMS[2:7])
 def test_dss(rng, m, k, n, density, unordered, ta, tb):
     a_shape, b_shape = _dims(m, k, n, ta, tb)
     a = _mk_sparse(rng, *a_shape, density, unordered)
