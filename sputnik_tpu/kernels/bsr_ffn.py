@@ -260,6 +260,13 @@ def fused_dropless_ffn(
     out_dtype = out_dtype or x.dtype
     t_pad, d_model = x.shape
     tr = tile_rows or bs
+    if d_ff % bs:
+        raise ValueError(f"d_ff {d_ff} must be a multiple of block size {bs}")
+    if t_pad % tr:
+        raise ValueError(
+            f"x rows {t_pad} must be a multiple of tile_rows {tr} "
+            "(pad the expert-grouped rows before calling)"
+        )
     f_blocks = d_ff // bs
     if ff_group is None:
         ff_group = next(g for g in (4, 2, 1) if f_blocks % g == 0)

@@ -31,6 +31,17 @@ __all__ = ["autotune", "benchmark_variants", "cached_variant", "clear_cache"]
 
 _CACHE: Optional[Dict[str, str]] = None  # loaded lazily from disk
 
+# Bump (via the package version) whenever kernels / can_implement predicates
+# change semantics: a cache written by a different library build is discarded
+# on load instead of silently overriding first-fit (ADVICE r2).
+def _cache_version() -> str:
+    try:
+        from sputnik_tpu import __version__
+
+        return __version__
+    except Exception:
+        return "unknown"
+
 
 def _cache_path() -> str:
     return os.environ.get(
@@ -46,7 +57,18 @@ def _load_cache() -> Dict[str, str]:
     if _CACHE is None:
         try:
             with open(_cache_path()) as f:
-                _CACHE = dict(json.load(f))
+                raw = json.load(f)
+            # Versioned schema: {"version": ..., "entries": {...}}. A cache
+            # written by another library build (or the old flat schema) is
+            # discarded so stale winners can't override first-fit.
+            if (
+                isinstance(raw, dict)
+                and raw.get("version") == _cache_version()
+                and isinstance(raw.get("entries"), dict)
+            ):
+                _CACHE = dict(raw["entries"])
+            else:
+                _CACHE = {}
         except Exception:
             _CACHE = {}
     return _CACHE
@@ -57,7 +79,12 @@ def _save_cache():
     try:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "w") as f:
-            json.dump(_load_cache(), f, indent=1, sort_keys=True)
+            json.dump(
+                {"version": _cache_version(), "entries": _load_cache()},
+                f,
+                indent=1,
+                sort_keys=True,
+            )
     except OSError:
         pass  # read-only filesystems: cache stays process-local
 
@@ -78,6 +105,22 @@ def _chip() -> str:
     return _CHIP
 
 
+# Known dispatch kwargs and their defaults: a kwarg is dropped from the
+# signature iff its value equals ITS OWN declared default, so explicit-default
+# and absent hash identically without assuming every default is falsy
+# (ADVICE r2: a future truthy-default kwarg must not collide with
+# explicit-False). Unknown kwargs are always included.
+_SIGNATURE_DEFAULTS = {
+    "transpose_a": False,
+    "transpose_b": False,
+    "out_dtype": None,
+    "schedule": None,
+    "plan": None,
+    "precision": None,
+    "scale": None,
+}
+
+
 def _signature(op: str, args, kwargs) -> str:
     sig = [_chip(), op]
     for a in args:
@@ -88,10 +131,12 @@ def _signature(op: str, args, kwargs) -> str:
         sig.append((str(type(a).__name__), shape, str(dtype), bs, nnz))
     for k in sorted(kwargs):
         v = kwargs[k]
-        # Normalize: falsy defaults (None / False) are dropped so
-        # ``autotune("dsd", a, b)`` and the dispatch-side call with
-        # explicit ``transpose_a=False, out_dtype=None`` hash identically.
-        if v is None or v is False:
+        if k in _SIGNATURE_DEFAULTS:
+            if v is _SIGNATURE_DEFAULTS[k] or v == _SIGNATURE_DEFAULTS[k]:
+                continue
+        elif v is None:
+            # Unknown kwarg explicitly None: treat as absent (None is the
+            # universal "unset" sentinel for optional operands).
             continue
         if isinstance(v, (bool, int, float, str)):
             sig.append((k, v))
@@ -165,9 +210,20 @@ def autotune(op: str, *args, **kwargs) -> str:
     return best
 
 
-def clear_cache():
-    _load_cache().clear()
-    try:
-        os.remove(_cache_path())
-    except OSError:
-        pass
+def clear_cache(*, all_chips: bool = False):
+    """Drop tuned entries for the CURRENT chip (signatures are prefixed with
+    the chip kind, so other chips' entries in the shared per-user cache file
+    are preserved). ``all_chips=True`` wipes the whole cache file — a global
+    side effect across every project on the machine (ADVICE r2)."""
+    cache = _load_cache()
+    if all_chips:
+        cache.clear()
+        try:
+            os.remove(_cache_path())
+        except OSError:
+            pass
+        return
+    prefix = _chip() + "|"
+    for k in [k for k in cache if k.startswith(prefix)]:
+        del cache[k]
+    _save_cache()

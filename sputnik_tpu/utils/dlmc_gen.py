@@ -47,17 +47,20 @@ WEIGHT_KEYS = (
 
 
 def build_corpus(max_bytes: int = 4 << 20) -> np.ndarray:
-    """Concatenate real local text (Python sources, docs) into a byte
-    array — the locally available stand-in for a natural-language corpus."""
-    roots = [
-        "/opt/venv/lib",
-        "/usr/lib/python3.12",
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    ]
+    """Concatenate REPO-LOCAL text (this package's sources + docs) into a
+    byte array — the locally available stand-in for a natural-language
+    corpus. Pinned to the repo tree with a fully deterministic walk so the
+    committed weight artifact is regenerable and auditable from the repo
+    alone (ADVICE r2); the corpus sha256 is stored in the npz next to the
+    weights."""
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    repo = os.path.dirname(pkg)
+    roots = [pkg, os.path.join(repo, "docs"), os.path.join(repo, "tests")]
     chunks = []
     size = 0
     for root in roots:
-        for dirpath, _dirs, files in os.walk(root):
+        for dirpath, dirs, files in os.walk(root):
+            dirs.sort()
             for f in sorted(files):
                 if not f.endswith((".py", ".md", ".txt", ".rst")):
                     continue
@@ -73,6 +76,12 @@ def build_corpus(max_bytes: int = 4 << 20) -> np.ndarray:
     if not chunks:
         raise RuntimeError("no local text found for the training corpus")
     return np.concatenate(chunks)
+
+
+def corpus_sha256(corpus: np.ndarray) -> str:
+    import hashlib
+
+    return hashlib.sha256(corpus.tobytes()).hexdigest()
 
 
 def _init_params(rng):
@@ -138,6 +147,7 @@ def train_weights(steps: int = 400, batch: int = 8, lr: float = 3e-4,
     import optax
 
     corpus = build_corpus()
+    log(f"corpus: {len(corpus)} bytes, sha256 {corpus_sha256(corpus)[:16]}…")
     rng = np.random.default_rng(seed)
     params = _init_params(jax.random.PRNGKey(seed))
     opt = optax.adam(lr)
@@ -170,6 +180,10 @@ def train_weights(steps: int = 400, batch: int = 8, lr: float = 3e-4,
         "attn_o": np.asarray(l0["o"], np.float32),
         "ffn_w1": np.asarray(l0["w1"], np.float32),
         "ffn_w2": np.asarray(l0["w2"], np.float32),
+        # provenance: hash of the exact training corpus (see build_corpus)
+        "corpus_sha256": np.frombuffer(
+            corpus_sha256(corpus).encode(), np.uint8
+        ),
     }
 
 
@@ -193,8 +207,17 @@ def pruned_csr(weights: dict, name: str, sparsity: float):
 
 
 def load_weights(path: str) -> dict:
+    """Weight matrices only (provenance keys like corpus_sha256 excluded)."""
     with np.load(path) as z:
-        return {k: z[k] for k in z.files}
+        return {k: z[k] for k in z.files if k in WEIGHT_KEYS}
+
+
+def load_provenance(path: str) -> dict:
+    with np.load(path) as z:
+        out = {}
+        if "corpus_sha256" in z.files:
+            out["corpus_sha256"] = z["corpus_sha256"].tobytes().decode()
+        return out
 
 
 def main():
