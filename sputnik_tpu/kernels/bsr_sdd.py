@@ -17,10 +17,12 @@ produced.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -33,7 +35,7 @@ from sputnik_tpu.kernels.common import (
     use_interpret,
 )
 
-__all__ = ["sdd"]
+__all__ = ["sdd", "sdd_panel", "plan_sdd_panel"]
 
 
 def _sdd_kernel(rows, cols, a_ref, b_ref, out_ref, acc_ref, *, k_tiles, dims):
@@ -63,6 +65,7 @@ def sdd(
     out_dtype=None,
     k_tile: int = 512,
     interpret: bool | None = None,
+    **_,
 ) -> BlockSparseMatrix:
     """C_sparse = op(A_dense) @ op(B_dense), masked to ``topology``.
 
@@ -115,4 +118,197 @@ def sdd(
         compiler_params=compiler_params(("parallel", "arbitrary")),
         interpret=interpret,
     )(rows, cols, a, b)
+    return topology.with_data(data)
+
+
+# ---------------------------------------------------------------------------
+# Panel-resident SDD (round 3): the 0.28-of-SoL fix.
+#
+# The (nnz, k_tiles) grid above re-fetches BOTH input strips for every
+# nonzero block (at d=2048/25% that is ~64 MB of traffic for 18 MB of
+# compulsory bytes — the measured 81 us / 0.28). This kernel restructures
+# the reference's one-program-per-nonzero-block decomposition
+# (``kernel.h:86-90``, ``block_gemm.h:490-498``) around VMEM residency:
+#
+#   * A is reshaped to expose block rows; a (G, bs, K) ROW-GROUP PANEL
+#     stays resident across all blocks of G consecutive block rows
+#     (index-map repeat elision): A is fetched once per group, not once
+#     per block.
+#   * work items are sorted by (row group, column, row), so a column
+#     repeated across the group's rows re-uses its (K, bs) B strip via
+#     consecutive-step index-map elision;
+#   * each item computes its whole output block in ONE full-K MXU dot
+#     (no k grid, no accumulator revisit, no flags — the grid is exactly
+#     nnz steps) and writes straight to its packed position.
+#
+# Measured on v5e @ d=2048/25%/bf16: 81 us (above) -> 46 us (G=4) ->
+# 38.8 us at G=8 (0.58 of the 22.5 us reuse-aware SoL; ~9 us is fixed
+# per-step cost on the 64-step grid).
+# ---------------------------------------------------------------------------
+
+_PANEL_BUDGET = 4 << 20  # resident A-panel bytes (x2 for double buffering)
+
+
+def _pick_group_rows(m_blocks: int, bs: int, k_dim: int, itemsize: int) -> int:
+    """Largest divisor of m_blocks whose (G*bs, K) panel fits the budget."""
+    cap = max(int(_PANEL_BUDGET // (bs * k_dim * itemsize)), 0)
+    if cap < 1:
+        return 0  # one row strip doesn't fit; caller falls back
+    best = 0
+    for g in range(1, m_blocks + 1):
+        if m_blocks % g == 0 and g <= cap:
+            best = g
+    return best
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["g_ids", "c_ids", "r_locs", "positions"],
+    meta_fields=["group_rows", "n_steps", "total"],
+)
+@dataclasses.dataclass(frozen=True)
+class SddPanelSchedule:
+    """Host-planned work list for :func:`sdd_panel` (pytree; shapes static).
+
+    One work item per nonzero output block, sorted by (row group, column,
+    row): ``g_ids`` selects the resident A panel, ``c_ids`` the B column
+    strip, ``r_locs`` the row inside the panel, and ``positions`` the
+    block's slot in the topology's packed data order.
+    """
+
+    g_ids: jax.Array  # (nnz,) int32, non-decreasing
+    c_ids: jax.Array  # (nnz,) int32
+    r_locs: jax.Array  # (nnz,) int32 (row within the row group)
+    positions: jax.Array  # (nnz,) int32
+    group_rows: int
+    n_steps: int
+    total: int
+
+
+def plan_sdd_panel(
+    topology: BlockSparseMatrix,
+    k_dim: int,
+    *,
+    itemsize: int = 2,
+) -> SddPanelSchedule | None:
+    """Plan the panel-resident SDD work list (host side, concrete metadata).
+
+    Returns None when no valid A row-group panel fits the VMEM budget
+    (the k-tiled output-stationary kernel handles that regime).
+    """
+    if isinstance(topology.row_indices, jax.core.Tracer) or isinstance(
+        topology.indices, jax.core.Tracer
+    ):
+        raise ValueError(
+            "plan_sdd_panel needs concrete topology metadata; plan outside "
+            "jit (the output-stationary kernel handles traced metadata)"
+        )
+    bs = topology.block_size
+    m_blocks = topology.rows // bs
+    G = _pick_group_rows(m_blocks, bs, k_dim, itemsize)
+    if G == 0:
+        return None
+    rows = np.asarray(topology.row_indices, np.int64)
+    cols = np.asarray(topology.indices, np.int64)
+    nnz = rows.shape[0]
+    if nnz == 0:
+        return None
+    g = rows // G
+    order = np.lexsort((rows, cols, g))
+    return SddPanelSchedule(
+        g_ids=jnp.asarray(g[order].astype(np.int32)),
+        c_ids=jnp.asarray(cols[order].astype(np.int32)),
+        r_locs=jnp.asarray((rows - g * G)[order].astype(np.int32)),
+        positions=jnp.asarray(order.astype(np.int32)),
+        group_rows=G,
+        n_steps=int(nnz),
+        total=int(nnz),
+    )
+
+
+def _sdd_panel_kernel(g_ids, c_ids, r_locs, positions, a_ref, b_ref, out_ref,
+                      *, dims):
+    del g_ids, c_ids, positions
+    j = pl.program_id(0)
+    r = r_locs[j]
+    a_slice = a_ref[r]
+    prod = jax.lax.dot_general(
+        a_slice, b_ref[:], dims, preferred_element_type=jnp.float32
+    )
+    out_ref[0] = prod.astype(out_ref.dtype)
+
+
+def sdd_panel(
+    a: jax.Array,
+    b: jax.Array,
+    topology: BlockSparseMatrix,
+    *,
+    transpose_a: bool = False,
+    transpose_b: bool = False,
+    out_dtype=None,
+    schedule: SddPanelSchedule | None = None,
+    interpret: bool | None = None,
+    **_,
+) -> BlockSparseMatrix:
+    """Panel-resident C_sparse = op(A) @ op(B) masked to ``topology``."""
+    interpret = use_interpret() if interpret is None else interpret
+    out_dtype = out_dtype or topology.dtype
+    bs = topology.block_size
+    m_dim = a.shape[1] if transpose_a else a.shape[0]
+    k_dim = a.shape[0] if transpose_a else a.shape[1]
+    n_dim = b.shape[0] if transpose_b else b.shape[1]
+    kb = b.shape[1] if transpose_b else b.shape[0]
+    if kb != k_dim:
+        raise ValueError(f"contraction mismatch: A gives k={k_dim}, B gives {kb}")
+    if (m_dim, n_dim) != topology.shape:
+        raise ValueError(f"output shape {(m_dim, n_dim)} != topology {topology.shape}")
+    nnz = topology.nnz_blocks
+    if nnz == 0:
+        return topology.with_data(jnp.zeros((0, bs, bs), out_dtype))
+    if transpose_a:
+        # A stored k-minor: the row-group panel cannot be sliced per item
+        # without sublane-misaligned dynamic slices or 2x padding (measured
+        # dead ends); the k-tiled output-stationary kernel keeps TN/TT.
+        raise ValueError("sdd_panel supports transpose_a=False only")
+    if schedule is None:
+        schedule = plan_sdd_panel(
+            topology, k_dim, itemsize=jnp.dtype(a.dtype).itemsize
+        )
+    if schedule is None:
+        raise ValueError("sdd_panel: no A row-group panel fits the VMEM budget")
+    G = schedule.group_rows
+    m_blocks = m_dim // bs
+
+    # A stored (M, K) -> (m_blocks, bs, K)
+    a3 = a.reshape(m_blocks, bs, k_dim)
+    a_spec = pl.BlockSpec((G, bs, k_dim), lambda j, g, c, r, o: (g[j], 0, 0))
+    if transpose_b:  # B stored (N, K)
+        b_spec = pl.BlockSpec((bs, k_dim), lambda j, g, c, r, o: (c[j], 0))
+    else:  # B stored (K, N)
+        b_spec = pl.BlockSpec((k_dim, bs), lambda j, g, c, r, o: (0, c[j]))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(schedule.n_steps,),
+        in_specs=[a_spec, b_spec],
+        out_specs=pl.BlockSpec(
+            (1, bs, bs), lambda j, g, c, r, o: (o[j], 0, 0)
+        ),
+    )
+    data = pl.pallas_call(
+        functools.partial(
+            _sdd_panel_kernel, dims=dot_dims(transpose_a, transpose_b)
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nnz, bs, bs), out_dtype),
+        compiler_params=compiler_params(("arbitrary",)),
+        interpret=interpret,
+    )(
+        schedule.g_ids,
+        schedule.c_ids,
+        schedule.r_locs,
+        schedule.positions,
+        a3,
+        b,
+    )
     return topology.with_data(data)

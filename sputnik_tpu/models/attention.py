@@ -113,9 +113,23 @@ def multihead_block_sparse_attention(
     scale: Optional[float] = None,
     fused: bool = False,
 ) -> jax.Array:
-    """(H, T, dh) multi-head wrapper via ``vmap`` — the Pallas kernels batch
-    through their batching rule (one extra grid dimension), so all heads
-    compile as ONE kernel instead of H unrolled copies."""
+    """(H, T, dh) multi-head attention.
+
+    ``fused=True`` dispatches to the round-3 multi-head kernel
+    (``kernels/flash_mha.py``): head axis in the grid and TWO query
+    row-blocks per step sharing the union of their topology columns —
+    K/V bytes per score nearly halve on banded/causal patterns. Falls
+    back to the vmapped single-head kernel when the pair plan doesn't
+    apply (odd block-row count or traced metadata)."""
+    if fused:
+        from sputnik_tpu.kernels.flash_mha import flash_mha
+
+        concrete = not (
+            isinstance(topology.row_indices, jax.core.Tracer)
+            or isinstance(topology.indices, jax.core.Tracer)
+        )
+        if concrete and (topology.rows // topology.block_size) % 2 == 0:
+            return flash_mha(q, k, v, topology, causal=causal, scale=scale)
     fn = functools.partial(
         block_sparse_attention, topology=topology, causal=causal, scale=scale,
         fused=fused,

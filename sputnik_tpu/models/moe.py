@@ -320,6 +320,7 @@ def dropless_moe_forward(
     cfg: MoEConfig,
     *,
     impl: str = "ragged",
+    row_group: int | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Dropless top-1 MoE FFN: NO capacity, no dropped tokens. Every expert's
     token group is padded up to a block multiple; the total padded rows are
@@ -331,10 +332,12 @@ def dropless_moe_forward(
     t = x.shape[0]
     bs = cfg.block_size
     e = cfg.n_experts
-    # bsr_fused pads expert groups to row_group block rows: wider kernel
-    # tiles amortize the per-tile W strip fetches (measured 2x less W
-    # traffic at row_group=2).
-    row_group = 2 if impl == "bsr_fused" else 1
+    # bsr_fused pads expert groups to row_group block rows: the fused
+    # kernel's W traffic is (padded tiles) x W_expert, so wider tiles trade
+    # padding FLOPs for W bytes (round-3 sweep on v5e at the bench config:
+    # row_group=4 is the knee; see docs/PERFORMANCE.md).
+    if row_group is None:
+        row_group = 4 if impl == "bsr_fused" else 1
     max_block_rows = (-(-t // bs) // row_group + e) * row_group  # static
     t_pad = max_block_rows * bs
 

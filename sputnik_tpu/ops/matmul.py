@@ -19,6 +19,7 @@ from sputnik_tpu.kernels import (
     bsr_dsd,
     bsr_dsd_pipelined,
     bsr_flat,
+    bsr_panel,
     bsr_sdd,
     bsr_small,
     bsr_ssd,
@@ -45,6 +46,7 @@ __all__ = [
     "plan_ssd",
     "plan_sds",
     "plan_dss",
+    "plan_sdd",
 ]
 
 
@@ -93,10 +95,31 @@ def _dsd_can(a, b, transpose_a=False, transpose_b=False, out_dtype=None, **kw):
     ) and a.nnz_blocks > 0
 
 
+def _dsd_panel_can(a, b, transpose_a=False, transpose_b=False, out_dtype=None,
+                   schedule=None, **kw):
+    """Panel-resident DSD: needs concrete metadata (host-batched stream)
+    or a prebuilt schedule, plus a full-K dense panel within VMEM budget."""
+    if not _dsd_can(a, b, transpose_a=transpose_a, transpose_b=transpose_b,
+                    out_dtype=out_dtype):
+        return False
+    k_dim = a.rows if transpose_a else a.cols
+    if not bsr_panel.panel_fits(k_dim, jnp.dtype(b.dtype).itemsize):
+        return False
+    if schedule is not None:
+        return True
+    # Base metadata must be concrete (transpose metadata derives from it
+    # eagerly when absent; _concrete skips None leaves).
+    return _concrete(a.offsets, a.indices, a.offsets_t, a.indices_t,
+                     a.block_offsets)
+
+
 registry.register("dsd", "pallas_stream", _dsd_can, bsr_dsd.dsd)
-# Manual-DMA pipeline variant (opt-in via variant="pallas_pipelined"):
-# matches the streamed kernel at large shapes; useful for tuning studies.
-registry.register("dsd", "pallas_pipelined", lambda *a, **k: False, bsr_dsd_pipelined.dsd)
+# Alternative kernels registered AFTER the streamed default so first-fit
+# keeps the measured winner (stream 38.3 us vs panel 46.7 us at the
+# d=2048/25%/bf16 audit config) while autotune can still time and promote
+# them per problem.
+registry.register("dsd", "pallas_panel", _dsd_panel_can, bsr_panel.dsd_panel)
+registry.register("dsd", "pallas_pipelined", _dsd_can, bsr_dsd_pipelined.dsd)
 
 
 def _dsd_small_can(a, b, transpose_a=False, transpose_b=False, out_dtype=None, **kw):
@@ -156,8 +179,23 @@ def _dds_can(a, b, transpose_a=False, transpose_b=False, out_dtype=None, **kw):
     ) and b.nnz_blocks > 0
 
 
+def _dds_panel_can(a, b, transpose_a=False, transpose_b=False, out_dtype=None,
+                   schedule=None, **kw):
+    if not _dds_can(a, b, transpose_a=transpose_a, transpose_b=transpose_b,
+                    out_dtype=out_dtype):
+        return False
+    k_dim = b.cols if transpose_b else b.rows
+    if not bsr_panel.panel_fits(k_dim, jnp.dtype(a.dtype).itemsize):
+        return False
+    if schedule is not None:
+        return True
+    return _concrete(b.offsets, b.indices, b.offsets_t, b.indices_t,
+                     b.block_offsets)
+
+
 registry.register("dds", "pallas_stream", _dds_can, bsr_dsd.dds)
-registry.register("dds", "pallas_pipelined", lambda *a, **k: False, bsr_dsd_pipelined.dds)
+registry.register("dds", "pallas_panel", _dds_panel_can, bsr_panel.dds_panel)
+registry.register("dds", "pallas_pipelined", _dds_can, bsr_dsd_pipelined.dds)
 registry.register("dds", "jnp_fallback", lambda *a, **k: True, reference.dds)
 
 
@@ -196,6 +234,41 @@ def _sdd_can(a, b, topology, transpose_a=False, transpose_b=False, out_dtype=Non
     )
 
 
+def _sdd_panel_can(a, b, topology, transpose_a=False, transpose_b=False,
+                   out_dtype=None, schedule=None, **kw):
+    if not _sdd_can(a, b, topology, transpose_a=transpose_a,
+                    transpose_b=transpose_b, out_dtype=out_dtype):
+        return False
+    if schedule is not None:
+        return True
+    if transpose_a:
+        # k-minor A defeats the resident-panel slicing (sublane-misaligned
+        # dynamic slices / 2x padding — measured dead ends); the k-tiled
+        # output-stationary kernel keeps TN/TT.
+        return False
+    k_dim = a.shape[1]
+    # Needs concrete metadata (host plan) and a valid A row-group panel
+    # within the VMEM budget; larger K falls back to the k-tiled kernel.
+    return (
+        _concrete(topology.row_indices, topology.indices)
+        and bsr_sdd._pick_group_rows(
+            topology.rows // topology.block_size,
+            topology.block_size,
+            k_dim,
+            jnp.dtype(a.dtype).itemsize,
+        )
+        > 0
+        and topology.nnz_blocks > 0
+    )
+
+
+def plan_sdd(topology: BlockSparseMatrix, k_dim: int, *, itemsize: int = 2):
+    """Precompute the panel-resident SDD work list (call outside jit; pass
+    to ``matmul_sdd(..., schedule=)`` — the ``MatmulEx`` discipline)."""
+    return bsr_sdd.plan_sdd_panel(topology, k_dim, itemsize=itemsize)
+
+
+registry.register("sdd", "pallas_panel", _sdd_panel_can, bsr_sdd.sdd_panel)
 registry.register("sdd", "pallas_output_stationary", _sdd_can, bsr_sdd.sdd)
 registry.register("sdd", "jnp_fallback", lambda *a, **k: True, reference.sdd)
 

@@ -147,6 +147,87 @@ def test_dss(rng, m, k, n, density, unordered, ta, tb):
     _check(out, expected)
 
 
+@pytest.mark.parametrize("ta,tb", MODES)
+def test_panel_variants(rng, ta, tb):
+    """Round-3 panel-resident kernels (dense operand pinned in VMEM per
+    output tile) match the oracle; SDD panel covers ta=False only (k-minor
+    A defeats the residency slicing — the k-tiled kernel keeps TN/TT)."""
+    m, k, n = 512, 384, 256
+    a_shape, b_shape = _dims(m, k, n, ta, tb)
+    a = _mk_sparse(rng, *a_shape, 0.25, True)
+    b = jnp.asarray(rng.standard_normal(b_shape).astype(np.float32))
+    out = ops.matmul_dsd(a, b, transpose_a=ta, transpose_b=tb, variant="pallas_panel")
+    expected = testing.dense_oracle_matmul(
+        np.asarray(a.to_dense()), np.asarray(b), transpose_a=ta, transpose_b=tb
+    )
+    _check(out, expected)
+
+    ad = jnp.asarray(rng.standard_normal(a_shape).astype(np.float32))
+    bsp = _mk_sparse(rng, *b_shape, 0.25, True)
+    out = ops.matmul_dds(ad, bsp, transpose_a=ta, transpose_b=tb, variant="pallas_panel")
+    expected = testing.dense_oracle_matmul(
+        np.asarray(ad), np.asarray(bsp.to_dense()), transpose_a=ta, transpose_b=tb
+    )
+    _check(out, expected)
+
+    if not ta:
+        topo = _mk_sparse(rng, m, n, 0.25, True)
+        out = ops.matmul_sdd(
+            ad, b, topo, transpose_b=tb, variant="pallas_panel"
+        )
+        full = testing.dense_oracle_matmul(
+            np.asarray(ad), np.asarray(b), transpose_b=tb
+        )
+        expected = np.asarray(
+            reference.extract_blocks(jnp.asarray(full), topo)
+        )
+        _check(out.data, expected)
+
+
+def test_panel_empty_groups(rng):
+    """Panel kernels zero output tiles whose group has no blocks."""
+    # Topology with an empty block row AND an empty block column.
+    from sputnik_tpu.formats import BlockSparseMatrix
+
+    blocks = [(0, 0), (0, 2), (2, 0), (3, 3)]  # row 1 and col 1 empty
+    offsets = np.zeros(5, np.int32)
+    for r, _ in blocks:
+        offsets[r + 1] += 1
+    offsets = np.cumsum(offsets).astype(np.int32)
+    cols = np.asarray([c for _, c in blocks], np.int32)
+    data = jnp.asarray(rng.standard_normal((len(blocks), 128, 128)).astype(np.float32))
+    sp = BlockSparseMatrix.create(data, jnp.asarray(offsets), jnp.asarray(cols), (512, 512))
+    b = jnp.asarray(rng.standard_normal((512, 256)).astype(np.float32))
+    out = ops.matmul_dsd(sp, b, variant="pallas_panel")
+    _check(out, testing.dense_oracle_matmul(np.asarray(sp.to_dense()), np.asarray(b)))
+    ad = jnp.asarray(rng.standard_normal((256, 512)).astype(np.float32))
+    out = ops.matmul_dds(ad, sp, variant="pallas_panel")
+    _check(out, testing.dense_oracle_matmul(np.asarray(ad), np.asarray(sp.to_dense())))
+
+
+@pytest.mark.parametrize("ta,tb", MODES)
+def test_dsd_dds_pipelined(rng, ta, tb):
+    """The manual-DMA pipelined variants (autotune-selectable since r3)
+    match the oracle in all four transpose modes."""
+    m, k, n = 256, 384, 256
+    a_shape, b_shape = _dims(m, k, n, ta, tb)
+    a = _mk_sparse(rng, *a_shape, 0.5, False)
+    b = jnp.asarray(rng.standard_normal(b_shape).astype(np.float32))
+    out = ops.matmul_dsd(a, b, transpose_a=ta, transpose_b=tb, variant="pallas_pipelined")
+    expected = testing.dense_oracle_matmul(
+        np.asarray(a.to_dense()), np.asarray(b), transpose_a=ta, transpose_b=tb
+    )
+    _check(out, expected)
+
+    ad = jnp.asarray(rng.standard_normal(a_shape).astype(np.float32))
+    bsp = _mk_sparse(rng, *b_shape, 0.5, False)
+    out = ops.matmul_dds(ad, bsp, transpose_a=ta, transpose_b=tb, variant="pallas_pipelined")
+    expected = testing.dense_oracle_matmul(
+        np.asarray(ad), np.asarray(bsp.to_dense()), transpose_a=ta, transpose_b=tb
+    )
+    _check(out, expected)
+
+
 def test_dsd_bf16(rng):
     a = _mk_sparse(rng, 256, 256, 0.5, False, dtype=jnp.bfloat16)
     b = jnp.asarray(rng.standard_normal((256, 256)).astype(np.float32)).astype(

@@ -245,3 +245,59 @@ def test_vmapped_fused_backward(rng):
     np.testing.assert_allclose(
         np.asarray(g, np.float32), np.asarray(gu, np.float32), atol=1e-2
     )
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_mha_matches_unfused(rng, causal):
+    """Round-3 multi-head kernel (head axis in grid, paired query rows):
+    forward and all three grads match the unfused chain."""
+    from sputnik_tpu.kernels.flash_mha import flash_mha
+
+    h, t, dh = 2, 512, 128
+    if causal:
+        topo = attn.causal_block_topology(t, 128, window_blocks=2, dtype=jnp.float32)
+    else:
+        topo = testing.random_bsr(rng, t, t, t * t // 3, 128, unordered=True)
+    q = jnp.asarray(rng.standard_normal((h, t, dh)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((h, t, dh)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((h, t, dh)).astype(np.float32))
+    out = flash_mha(q, k, v, topo, causal=causal)
+    ref = attn.multihead_block_sparse_attention(q, k, v, topo, causal=causal)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=5e-3
+    )
+
+    def loss_f(q_, k_, v_):
+        return jnp.sum(flash_mha(q_, k_, v_, topo, causal=causal) ** 2)
+
+    def loss_r(q_, k_, v_):
+        return jnp.sum(
+            attn.multihead_block_sparse_attention(q_, k_, v_, topo, causal=causal) ** 2
+        )
+
+    g1 = jax.grad(loss_f, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+    for a_, b_ in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a_, np.float32), np.asarray(b_, np.float32), atol=5e-2
+        )
+
+
+def test_flash_mha_empty_row_pair(rng):
+    """A pair whose rows have no topology blocks stays zero."""
+    from sputnik_tpu.formats import BlockSparseMatrix
+    from sputnik_tpu.kernels.flash_mha import flash_mha
+
+    t, dh = 512, 128
+    # blocks only in rows 0 and 3 -> pair 0 half-empty, pair 1 half-empty
+    offsets = jnp.asarray(np.asarray([0, 2, 2, 2, 4], np.int32))
+    cols = jnp.asarray(np.asarray([0, 1, 2, 3], np.int32))
+    data = jnp.zeros((4, 128, 128), jnp.float32)
+    topo = BlockSparseMatrix.create(data, offsets, cols, (t, t))
+    q = jnp.asarray(rng.standard_normal((1, t, dh)).astype(np.float32))
+    out = flash_mha(q, q, q, topo)
+    ref = attn.multihead_block_sparse_attention(q, q, q, topo)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=5e-3
+    )
+    assert np.abs(np.asarray(out)[0, 128:384]).max() == 0.0
