@@ -196,7 +196,7 @@ def fused_group_ffn(
     )(cols_flat, x, *([w1] * ff_group), *([w2] * ff_group))
 
 
-def _dropless_kernel(e_ref, *refs, n_steps: int, f_blocks: int,
+def _dropless_kernel(e_ref, live_ref, *refs, n_steps: int, f_blocks: int,
                      ff_group: int, act):
     x_ref = refs[0]
     w1_refs = refs[1 : 1 + ff_group]
@@ -204,33 +204,43 @@ def _dropless_kernel(e_ref, *refs, n_steps: int, f_blocks: int,
     out_ref = refs[1 + 2 * ff_group]
     acc_ref = refs[2 + 2 * ff_group]
     del e_ref  # consumed by the index maps
+    r = pl.program_id(0)
     j = pl.program_id(1)
 
-    @pl.when(j == 0)
+    # The grid covers the STATIC worst-case padded row count (tokens +
+    # n_experts * tile_rows); tiles past the step's actual routed total do
+    # no compute (their W indices all collapse to the last expert, so the
+    # fetches elide too). Their output rows are never gathered by the
+    # caller's inverse permutation, so leaving them unwritten is safe.
+    # Measured v5e @ bench config: 461 -> ~320 us class (the worst-case
+    # pad tiles were costing full MXU + gelu + W traffic).
+    @pl.when(live_ref[r] > 0)
     def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+        @pl.when(j == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    w1_strip = (
-        jnp.concatenate([w1_refs[g][:] for g in range(ff_group)], axis=1)
-        if ff_group > 1 else w1_refs[0][:]
-    )
-    h = jax.lax.dot_general(
-        x_ref[:], w1_strip, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    h = act(h).astype(x_ref.dtype)
-    w2_strip = (
-        jnp.concatenate([w2_refs[g][:] for g in range(ff_group)], axis=0)
-        if ff_group > 1 else w2_refs[0][:]
-    )
-    acc_ref[:] += jax.lax.dot_general(
-        h, w2_strip, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+        w1_strip = (
+            jnp.concatenate([w1_refs[g][:] for g in range(ff_group)], axis=1)
+            if ff_group > 1 else w1_refs[0][:]
+        )
+        h = jax.lax.dot_general(
+            x_ref[:], w1_strip, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        h = act(h).astype(x_ref.dtype)
+        w2_strip = (
+            jnp.concatenate([w2_refs[g][:] for g in range(ff_group)], axis=0)
+            if ff_group > 1 else w2_refs[0][:]
+        )
+        acc_ref[:] += jax.lax.dot_general(
+            h, w2_strip, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
-    @pl.when(j == n_steps - 1)
-    def _():
-        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+        @pl.when(j == n_steps - 1)
+        def _():
+            out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
 def fused_dropless_ffn(
@@ -247,6 +257,9 @@ def fused_dropless_ffn(
     activation: str = "gelu",
     out_dtype=None,
     ff_group: int | None = None,
+    live_rows: jax.Array | None = None,  # traced scalar: actual used row
+    # tiles this step (tiles past it skip compute AND leave their output
+    # rows unwritten — callers must not read them); None = all live
     interpret: bool | None = None,
 ) -> jax.Array:
     """Dropless MoE FFN in one kernel: the block-diagonal topology is
@@ -274,21 +287,38 @@ def fused_dropless_ffn(
     n_rows = t_pad // tr
     act = _ACTS[activation]
 
+    if live_rows is None:
+        live = jnp.ones((n_rows,), jnp.int32)
+    else:
+        live = (
+            jnp.arange(n_rows, dtype=jnp.int32)
+            < jnp.asarray(live_rows, jnp.int32)
+        ).astype(jnp.int32)
+
+    # Dead tiles (past live_rows) collapse their W index to one constant
+    # chunk: pl.when only skips COMPUTE — index-map DMAs fire regardless —
+    # so without this the dead tail still streams 8 W chunks per tile
+    # (measured: the live guard alone saved only ~20 us of ~460). With a
+    # constant index, consecutive dead steps elide to a single fetch.
+    def w_idx(r, j, g, e, lv):
+        idx = e[r] * f_blocks + j * ff_group + g
+        return jnp.where(lv[r] > 0, idx, 0)
+
     def w1_map(g):
-        return lambda r, j, e: (0, e[r] * f_blocks + j * ff_group + g)
+        return lambda r, j, e, lv: (0, w_idx(r, j, g, e, lv))
 
     def w2_map(g):
-        return lambda r, j, e: (e[r] * f_blocks + j * ff_group + g, 0)
+        return lambda r, j, e, lv: (w_idx(r, j, g, e, lv), 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_rows, n_steps),
         in_specs=[
-            pl.BlockSpec((tr, d_model), lambda r, j, e: (r, 0)),
+            pl.BlockSpec((tr, d_model), lambda r, j, e, lv: (r, 0)),
             *[pl.BlockSpec((d_model, bs), w1_map(g)) for g in range(ff_group)],
             *[pl.BlockSpec((bs, d_model), w2_map(g)) for g in range(ff_group)],
         ],
-        out_specs=pl.BlockSpec((tr, d_model), lambda r, j, e: (r, 0)),
+        out_specs=pl.BlockSpec((tr, d_model), lambda r, j, e, lv: (r, 0)),
         scratch_shapes=[pltpu.VMEM((tr, d_model), jnp.float32)],
     )
     return pl.pallas_call(
@@ -300,4 +330,10 @@ def fused_dropless_ffn(
         out_shape=jax.ShapeDtypeStruct((t_pad, d_model), out_dtype),
         compiler_params=compiler_params(("parallel", "arbitrary")),
         interpret=interpret,
-    )(expert_of_row.astype(jnp.int32), x, *([w1] * ff_group), *([w2] * ff_group))
+    )(
+        expert_of_row.astype(jnp.int32),
+        live,
+        x,
+        *([w1] * ff_group),
+        *([w2] * ff_group),
+    )

@@ -374,24 +374,51 @@ def sdd_softmax_fused(
         interpret=interpret,
     )(rows, cols, flags, q, *([k] * group))
 
-    # Slot of each topology block in the padded step-ordered output: items
-    # are laid out in plan order, which follows the (stable row-sorted)
-    # topology order with flag-0 duplicates interleaved.
+    # Fused normalize epilogue (round 3): a second Pallas pass reads each
+    # padded score slot once and writes exp(s - m)/l STRAIGHT to the
+    # block's packed topology position — replacing the round-2 XLA
+    # epilogue whose jnp.take permutation + exp/normalize cost the scores
+    # two extra HBM crossings. Flag-0 padding slots (fully -inf scores,
+    # NOT copies of real blocks) are routed to a discard slot nnz and
+    # sliced off.
+    nnz = topology.nnz_blocks
+    n_items = n_steps * group
     if not isinstance(flags, jax.core.Tracer):
         fl = np.asarray(flags)
-        perm = jnp.asarray(np.nonzero(fl)[0].astype(np.int32))
+        pos = np.full((n_items,), nnz, np.int32)
+        pos[np.nonzero(fl)[0]] = np.arange(nnz, dtype=np.int32)
+        pos = jnp.asarray(pos)
+        rows_items = jnp.asarray(np.repeat(np.asarray(rows), group))
     else:
-        perm = jnp.nonzero(
-            flags, size=topology.nnz_blocks, fill_value=0
-        )[0].astype(jnp.int32)
-    s = jnp.take(scores_pad, perm, axis=0)  # (nnz, bs, bs) topo order
-    ri = topology.row_indices
-    m_rows = m_stat[:, 0].reshape(topology.block_rows, bs)[ri][:, :, None]
-    l_rows = l_stat[:, 0].reshape(topology.block_rows, bs)[ri][:, :, None]
-    e = jnp.exp(s - m_rows)
-    e = jnp.where(s > 0.5 * _NEG_INF, e, 0.0)
-    probs = e / jnp.maximum(l_rows, 1e-30)
-    return topology.with_data(probs.astype(out_dtype))
+        pos = jnp.arange(nnz, dtype=jnp.int32)  # group == 1, no padding
+        rows_items = rows
+
+    def _norm_kernel(rows_i, pos_i, s_ref, m_ref, l_ref, out_ref):
+        del rows_i, pos_i
+        s = s_ref[0]
+        e = jnp.exp(s - m_ref[:, 0:1])
+        e = jnp.where(s > 0.5 * _NEG_INF, e, 0.0)
+        out_ref[0] = (e / jnp.maximum(l_ref[:, 0:1], 1e-30)).astype(
+            out_ref.dtype
+        )
+
+    probs_pad = pl.pallas_call(
+        _norm_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_items,),
+            in_specs=[
+                pl.BlockSpec((1, bs, bs), lambda i, r_, p_: (i, 0, 0)),
+                pl.BlockSpec((bs, 128), lambda i, r_, p_: (r_[i], 0)),
+                pl.BlockSpec((bs, 128), lambda i, r_, p_: (r_[i], 0)),
+            ],
+            out_specs=pl.BlockSpec((1, bs, bs), lambda i, r_, p_: (p_[i], 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((nnz + 1, bs, bs), out_dtype),
+        compiler_params=compiler_params(("arbitrary",)),
+        interpret=interpret,
+    )(rows_items, pos, scores_pad, m_stat, l_stat)
+    return topology.with_data(probs_pad[:nnz])
 
 
 def _fold_kernel(

@@ -39,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 from sputnik_tpu.formats import SellMatrix
 from sputnik_tpu.kernels.common import cdiv, compiler_params, use_interpret
 
-__all__ = ["spmm", "spmm_t", "sddmm"]
+__all__ = ["spmm", "spmm_t", "sddmm", "sparse_softmax"]
 
 _TR = 128  # row-tile (lanes); SellMatrix pads rows to a multiple of this
 
@@ -524,3 +524,63 @@ def sddmm(
         interpret=interpret,
     )(_tile_widths(topology), a, b, topology.indices)
     return topology.with_values(values)
+
+
+# ---------------------------------------------------------------------------
+# SELL row softmax (round 3): one Pallas kernel instead of the jnp chain.
+#
+# The jnp path (ops/csr.py::sparse_softmax_sell) materializes the valid
+# mask and crosses the slot buffer ~5-7 times through XLA (audit: 0.36 of
+# the 3-pass SoL). Here each 128-row lane tile's full slot column —
+# (n_chunks, width, 128), ~width*512 bytes per row — fits VMEM easily, so
+# the kernel reads values+indices ONCE, computes the masked row max / sum
+# in registers, and writes the normalized probabilities from the resident
+# copy: 3 slot passes total, the structural minimum (bench/models.py::
+# softmax_model). Upstream-Sputnik capability anchor: SparseSoftmax for
+# attention (SURVEY.md north star).
+# ---------------------------------------------------------------------------
+
+
+def _softmax_kernel(v_ref, i_ref, o_ref, *, sentinel: int, scale):
+    v = v_ref[:].astype(jnp.float32)
+    if scale is not None:
+        v = v * scale
+    valid = i_ref[:] != sentinel
+    nc, w, lanes = v.shape
+    v2 = jnp.where(valid, v, _NEG).reshape(nc * w, lanes)
+    m = jnp.max(v2, axis=0, keepdims=True)
+    m = jnp.maximum(m, -3e38)  # empty rows
+    e = jnp.exp(v2 - m)
+    e = jnp.where(v2 > 0.5 * _NEG, e, 0.0)
+    s = jnp.maximum(jnp.sum(e, axis=0, keepdims=True), 1e-30)
+    o_ref[:] = (e / s).reshape(nc, w, lanes).astype(o_ref.dtype)
+
+
+_NEG = -1e30
+
+
+def sparse_softmax(
+    m: SellMatrix,
+    *,
+    scale: float | None = None,
+    interpret: bool | None = None,
+):
+    """Row softmax over a SELL matrix's valid slots, one fused pass."""
+    interpret = use_interpret() if interpret is None else interpret
+    nc, w, rp = m.values.shape
+    if w == 0 or rp == 0:
+        return m
+    tiles = rp // 128
+    f = pl.pallas_call(
+        functools.partial(_softmax_kernel, sentinel=m.chunk, scale=scale),
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec((nc, w, 128), lambda t: (0, 0, t)),
+            pl.BlockSpec((nc, w, 128), lambda t: (0, 0, t)),
+        ],
+        out_specs=pl.BlockSpec((nc, w, 128), lambda t: (0, 0, t)),
+        out_shape=jax.ShapeDtypeStruct((nc, w, rp), m.values.dtype),
+        compiler_params=compiler_params(("parallel",)),
+        interpret=interpret,
+    )
+    return m.with_values(f(m.values, m.indices))

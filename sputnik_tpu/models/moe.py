@@ -285,10 +285,13 @@ def _fused_dropless_diff(x_perm, w1, w2, e_of_row, expert_rows,
 
     @jax.custom_vjp
     def f(x_, w1_, w2_, e_row_, e_rows_):
-        del e_rows_
+        tile_rows = x_.shape[0] // e_row_.shape[0]
+        # Actual routed tiles this step (traced): tiles past it skip all
+        # compute in the kernel; their rows are never gathered by `dest`.
+        live = (jnp.sum(e_rows_) * cfg.block_size) // tile_rows
         return fused_dropless_ffn(
             x_, w1_, w2_, e_row_, cfg.d_ff, bs=cfg.block_size,
-            tile_rows=x_.shape[0] // e_row_.shape[0],
+            tile_rows=tile_rows, live_rows=live,
             activation="gelu", out_dtype=cfg.dtype,
         )
 
@@ -334,10 +337,13 @@ def dropless_moe_forward(
     e = cfg.n_experts
     # bsr_fused pads expert groups to row_group block rows: the fused
     # kernel's W traffic is (padded tiles) x W_expert, so wider tiles trade
-    # padding FLOPs for W bytes (round-3 sweep on v5e at the bench config:
-    # row_group=4 is the knee; see docs/PERFORMANCE.md).
+    # worst-case static padding for W bytes. Round-3 sweep on v5e at the
+    # bench config: 469/461/483/537 us at row_group 1/2/3/4 — the static
+    # pad tiles dominate past 2, so 2 stays the default and the kernel now
+    # skips compute on tiles past the step's ACTUAL routed total
+    # (live_rows), which is where the real headroom was.
     if row_group is None:
-        row_group = 4 if impl == "bsr_fused" else 1
+        row_group = 2 if impl == "bsr_fused" else 1
     max_block_rows = (-(-t // bs) // row_group + e) * row_group  # static
     t_pad = max_block_rows * bs
 

@@ -246,11 +246,8 @@ def sparse_softmax_ell(a: EllMatrix, *, scale: float | None = None) -> EllMatrix
     return a.with_values((e / s).astype(a.dtype))
 
 
-def sparse_softmax_sell(a: SellMatrix, *, scale: float | None = None) -> SellMatrix:
-    """Row softmax over a SELL matrix — dense VPU math over the padded
-    slots; padding (sentinel-index) slots contribute nothing. Layout is
-    (n_chunks, width, rows): the row axis is last, so reductions run over
-    the leading axes."""
+def _sparse_softmax_sell_jnp(a: SellMatrix, *, scale: float | None = None) -> SellMatrix:
+    """jnp reference path (also the oracle for the Pallas kernel)."""
     v = a.values.astype(jnp.float32)
     if scale is not None:
         v = v * scale
@@ -261,6 +258,41 @@ def sparse_softmax_sell(a: SellMatrix, *, scale: float | None = None) -> SellMat
     e = jnp.where(mask, jnp.exp(v - m), 0.0)
     s = jnp.maximum(jnp.sum(e, axis=(0, 1), keepdims=True), 1e-30)
     return a.with_values((e / s).astype(a.dtype))
+
+
+def sparse_softmax_sell(a: SellMatrix, *, scale: float | None = None) -> SellMatrix:
+    """Row softmax over a SELL matrix — fused Pallas kernel (round 3):
+    values+indices cross HBM once each plus one write, vs the jnp chain's
+    ~5-7 slot passes (audit 0.36 -> see PERFORMANCE.md). Differentiable:
+    the backward uses the softmax Jacobian on the kernel's own output
+    (padded slots carry p=0, so their cotangent vanishes)."""
+    # indices travel as an ARGUMENT (not a closure): inside grad chains
+    # they are tracers, and closing over a tracer in a custom_vjp leaks it
+    # out of the transform. Integer inputs take float0 zero cotangents.
+    @jax.custom_vjp
+    def f(values, indices):
+        m = dataclasses.replace(a, values=values, indices=indices)
+        return sell_kernels.sparse_softmax(m, scale=scale).values
+
+    def fwd(values, indices):
+        p = f(values, indices)
+        return p, (p, indices)
+
+    def bwd(res, g):
+        p, indices = res
+        pf = p.astype(jnp.float32)
+        gf = g.astype(jnp.float32)
+        dot = jnp.sum(pf * gf, axis=(0, 1), keepdims=True)
+        dv = pf * (gf - dot)
+        if scale is not None:
+            dv = dv * scale
+        return (
+            dv.astype(p.dtype),
+            np.zeros(indices.shape, dtype=jax.dtypes.float0),
+        )
+
+    f.defvjp(fwd, bwd)
+    return a.with_values(f(a.values, a.indices))
 
 
 def sparse_softmax(a: CsrMatrix | EllMatrix | SellMatrix, *, scale: float | None = None):
