@@ -106,46 +106,80 @@ def run(d: int, densities, dtype_name="bfloat16", chain=8, runs=3,
                     lambda x_, y_, ta=ta, tb=tb: ops.matmul_sdd(
                         x_, y_, topo, transpose_a=ta, transpose_b=tb).data,
                     (b, b), f, by, perturb=0)
+            # Sparse-out / sparse-sparse ops: pre-plan the exact flat
+            # schedule ONLY where the registry's first-fit would pick the
+            # flat path anyway (the MatmulEx discipline); at high density
+            # the dispatch takes the densify detour, which the grid then
+            # measures as the shipping configuration.
             if ops_filter is None or "ssd" in ops_filter:
-                sched = ops.plan_ssd(a, topo, transpose_a=ta)
+                use_flat = density < 0.25
+                sched = ops.plan_ssd(a, topo, transpose_a=ta) if use_flat else None
+                total = sched.total if use_flat else a.nnz_blocks * (d // 128)
                 f, by = sparse_out_flat_model(
-                    total_items=sched.total, nnz_out=topo.nnz, isz=isz)
+                    total_items=total, nnz_out=topo.nnz, isz=isz)
+                kw = {"schedule": sched} if use_flat else {}
                 add("ssd", ta, tb, density,
-                    lambda a_, b_, ta=ta, tb=tb, s=sched: ops.matmul_ssd(
+                    lambda a_, b_, ta=ta, tb=tb, kw=kw: ops.matmul_ssd(
                         a_, b_, topo, transpose_a=ta, transpose_b=tb,
-                        schedule=s).data,
+                        **kw).data,
                     (a, b), f, by, perturb=1)
             if ops_filter is None or "sds" in ops_filter:
-                sched = ops.plan_sds(a, topo, transpose_b=tb)
+                use_flat = density < 0.25
+                sched = ops.plan_sds(a, topo, transpose_b=tb) if use_flat else None
+                total = sched.total if use_flat else a.nnz_blocks * (d // 128)
                 f, by = sparse_out_flat_model(
-                    total_items=sched.total, nnz_out=topo.nnz, isz=isz)
+                    total_items=total, nnz_out=topo.nnz, isz=isz)
+                kw = {"schedule": sched} if use_flat else {}
                 add("sds", ta, tb, density,
-                    lambda b_, a_, ta=ta, tb=tb, s=sched: ops.matmul_sds(
+                    lambda b_, a_, ta=ta, tb=tb, kw=kw: ops.matmul_sds(
                         b_, a_, topo, transpose_a=ta, transpose_b=tb,
-                        schedule=s).data,
+                        **kw).data,
                     (b, a), f, by, perturb=0)
             if ops_filter is None or "dss" in ops_filter:
-                sched = ops.plan_dss(a, topo, transpose_a=ta, transpose_b=tb)
-                f, by = dss_flat_model(total_items=sched.total, m=d, n=d,
-                                       isz=isz)
+                use_flat = density * density < 0.1
+                sched = (ops.plan_dss(a, topo, transpose_a=ta, transpose_b=tb)
+                         if use_flat else None)
+                total = (sched.total if use_flat
+                         else a.nnz_blocks * topo.nnz_blocks // max(d // 128, 1))
+                f, by = dss_flat_model(total_items=total, m=d, n=d, isz=isz)
+                kw = {"schedule": sched} if use_flat else {}
                 add("dss", ta, tb, density,
-                    lambda a_, b_, ta=ta, tb=tb, s=sched: ops.matmul_dss(
-                        a_, b_, transpose_a=ta, transpose_b=tb, schedule=s),
+                    lambda a_, b_, ta=ta, tb=tb, kw=kw: ops.matmul_dss(
+                        a_, b_, transpose_a=ta, transpose_b=tb, **kw),
                     (a, topo), f, by, perturb=0)
     return rows_out
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--d", type=int, default=2048)
+    ap.add_argument("--d", type=int, nargs="+", default=[2048],
+                    help="square dims (the reference sweeps 512..16384, "
+                    "dsd_benchmark.cu:32-46)")
     ap.add_argument("--densities", type=float, nargs="+",
                     default=[0.5, 0.25, 0.1])
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--ops", nargs="+", default=None,
                     help="subset of dsd dds sdd ssd sds dss")
+    ap.add_argument("--chain", type=int, default=8)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--append", action="store_true",
+                    help="merge into an existing --out artifact (replacing "
+                    "rows with the same op/mode/d/density key)")
     ap.add_argument("--out", default="bsr_grid_results.json")
     args = ap.parse_args()
-    rows = run(args.d, args.densities, args.dtype, ops_filter=args.ops)
+    rows = []
+    for d in args.d:
+        rows.extend(run(d, args.densities, args.dtype, chain=args.chain,
+                        runs=args.runs, ops_filter=args.ops))
+    if args.append:
+        import os
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                old = json.load(f)
+            new_keys = {(r["op"], r["mode"], r["d"], r["density"]) for r in rows}
+            rows = [r for r in old
+                    if (r["op"], r["mode"], r.get("d"), r["density"])
+                    not in new_keys] + rows
     print("| op | mode | density | time (us) | GFLOP/s | frac SoL |")
     print("|---|---|---|---|---|---|")
     for r in rows:

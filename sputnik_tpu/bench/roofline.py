@@ -224,19 +224,15 @@ def audit(d: int = 2048, density: float = 0.25, dtype_name: str = "bfloat16",
         perturb=1,
         vpu=sell_vpu_elems(s_slots, s_mat.chunk),
     )
-    # Mirror path does DENSE MXU work; audit it against the dense model.
-    # perturb_mode="roll": pure jnp.dot — XLA hoists the matmul out of
-    # the chain under slice-update perturbations.
-    c_mirror = c.with_dense_mirror()
-    add(
-        "csr_spmm(mirror)",
-        lambda c_, b_: csr_ops.spmm(c_, b_),
-        (c_mirror, bm),
-        2 * d * d * bn,
-        d * d * 4 + 2 * d * bn * 4,
-        perturb=1,
-        perturb_mode="roll",
-    )
+    # csr_spmm(mirror) is deliberately NOT audited here (round-2 shipped a
+    # physically impossible frac_sol 3.78 for it): the mirror is a plain
+    # jnp.dot whose (d, d) dense operand stays VMEM-resident across the
+    # timing chain's steps, so a per-call compulsory-bytes model overcounts
+    # traffic by ~chain x for this bandwidth-bound shape — the frac is a
+    # MODEL artifact, not a measurement win. The dense-matmul baseline is
+    # measured honestly (roll-perturbed, VMEM-exceeding operands) in
+    # bench.py; tests/test_artifacts.py now enforces frac <= 1.05 on
+    # everything published.
     qm = jnp.asarray(rng.standard_normal((d, 64)).astype(np.float32))
     km = jnp.asarray(rng.standard_normal((d, 64)).astype(np.float32))
     ctopo = SellMatrix.from_csr(

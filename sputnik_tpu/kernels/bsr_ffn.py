@@ -196,51 +196,44 @@ def fused_group_ffn(
     )(cols_flat, x, *([w1] * ff_group), *([w2] * ff_group))
 
 
-def _dropless_kernel(e_ref, live_ref, *refs, n_steps: int, f_blocks: int,
-                     ff_group: int, act):
-    x_ref = refs[0]
-    w1_refs = refs[1 : 1 + ff_group]
-    w2_refs = refs[1 + ff_group : 1 + 2 * ff_group]
-    out_ref = refs[1 + 2 * ff_group]
-    acc_ref = refs[2 + 2 * ff_group]
+def _dropless_kernel(e_ref, live_ref, x_ref, w1_ref, w2_ref, out_ref,
+                     acc_ref, *, n_steps: int, act):
     del e_ref  # consumed by the index maps
     r = pl.program_id(0)
     j = pl.program_id(1)
 
     # The grid covers the STATIC worst-case padded row count (tokens +
     # n_experts * tile_rows); tiles past the step's actual routed total do
-    # no compute (their W indices all collapse to the last expert, so the
-    # fetches elide too). Their output rows are never gathered by the
-    # caller's inverse permutation, so leaving them unwritten is safe.
-    # Measured v5e @ bench config: 461 -> ~320 us class (the worst-case
-    # pad tiles were costing full MXU + gelu + W traffic).
+    # no compute (their W indices all collapse to chunk 0, so the fetches
+    # elide too). Their output rows are never gathered by the caller's
+    # inverse permutation, so leaving them unwritten is safe.
     @pl.when(live_ref[r] > 0)
     def _():
-        @pl.when(j == 0)
-        def _():
-            acc_ref[:] = jnp.zeros_like(acc_ref)
-
-        w1_strip = (
-            jnp.concatenate([w1_refs[g][:] for g in range(ff_group)], axis=1)
-            if ff_group > 1 else w1_refs[0][:]
-        )
         h = jax.lax.dot_general(
-            x_ref[:], w1_strip, (((1,), (0,)), ((), ())),
+            x_ref[:], w1_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         h = act(h).astype(x_ref.dtype)
-        w2_strip = (
-            jnp.concatenate([w2_refs[g][:] for g in range(ff_group)], axis=0)
-            if ff_group > 1 else w2_refs[0][:]
-        )
-        acc_ref[:] += jax.lax.dot_general(
-            h, w2_strip, (((1,), (0,)), ((), ())),
+        contrib = jax.lax.dot_general(
+            h, w2_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if n_steps == 1:
+            # Whole expert FFN per step: no accumulator round-trip, and the
+            # W index depends only on e[r] — consecutive tiles of the same
+            # expert ELIDE the W fetch entirely (the W-stationary schedule,
+            # bought with index-map-repeat elision instead of a loop swap).
+            out_ref[:] = contrib.astype(out_ref.dtype)
+        else:
+            @pl.when(j == 0)
+            def _():
+                acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        @pl.when(j == n_steps - 1)
-        def _():
-            out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+            acc_ref[:] += contrib
+
+            @pl.when(j == n_steps - 1)
+            def _():
+                out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
 def fused_dropless_ffn(
@@ -282,7 +275,25 @@ def fused_dropless_ffn(
         )
     f_blocks = d_ff // bs
     if ff_group is None:
-        ff_group = next(g for g in (4, 2, 1) if f_blocks % g == 0)
+        # Whole-expert W chunks (ff_group == f_blocks) make the W index a
+        # function of e[r] alone, so consecutive tiles of the same expert
+        # elide the fetch — W streams once per expert RUN, not per tile
+        # (rows are expert-grouped). Measured v5e @ d_model=1024, d_ff=2048,
+        # E=8, 4096 tokens, tile_rows=256: 244.6/254.7/268.9 us at ff_group
+        # 16/8/4 (vs 437 us for the round-2 per-tile-streaming schedule) —
+        # 0.89 of bf16 peak, BEATING the fixed-capacity grouped einsum
+        # (310 us). Cap the chunk so the two double-buffered W blocks fit
+        # VMEM alongside x/out/acc/h (the kernel raises Mosaic's scoped
+        # limit when they exceed the 16 MB default).
+        budget = 48 * 1024 * 1024  # bytes for the two double-buffered W blocks
+        per_unit = 4 * d_model * bs * jnp.dtype(w1.dtype).itemsize
+        ff_group = next(
+            (g for g in range(f_blocks, 0, -1)
+             if f_blocks % g == 0 and g * per_unit <= budget),
+            1,
+        )
+    if f_blocks % ff_group:
+        raise ValueError(f"ff_group {ff_group} must divide f_blocks {f_blocks}")
     n_steps = f_blocks // ff_group
     n_rows = t_pad // tr
     act = _ACTS[activation]
@@ -295,45 +306,44 @@ def fused_dropless_ffn(
             < jnp.asarray(live_rows, jnp.int32)
         ).astype(jnp.int32)
 
-    # Dead tiles (past live_rows) collapse their W index to one constant
-    # chunk: pl.when only skips COMPUTE — index-map DMAs fire regardless —
-    # so without this the dead tail still streams 8 W chunks per tile
-    # (measured: the live guard alone saved only ~20 us of ~460). With a
-    # constant index, consecutive dead steps elide to a single fetch.
-    def w_idx(r, j, g, e, lv):
-        idx = e[r] * f_blocks + j * ff_group + g
-        return jnp.where(lv[r] > 0, idx, 0)
-
-    def w1_map(g):
-        return lambda r, j, e, lv: (0, w_idx(r, j, g, e, lv))
-
-    def w2_map(g):
-        return lambda r, j, e, lv: (w_idx(r, j, g, e, lv), 0)
+    # The dropless W layout is (d_model, E * d_ff) with each expert's
+    # columns CONTIGUOUS, so one wide BlockSpec of (d_model, bs * ff_group)
+    # covers a whole chunk — no per-bs strip specs, no in-kernel concat.
+    # Dead tiles (past live_rows) collapse their W index to chunk 0:
+    # pl.when only skips COMPUTE — index-map DMAs fire regardless — so
+    # without this the dead tail still streams W per tile (measured: the
+    # live guard alone saved only ~20 us of ~460). With a constant index,
+    # consecutive dead steps elide to a single fetch.
+    def w_idx(r, j, e, lv):
+        return jnp.where(lv[r] > 0, e[r] * n_steps + j, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_rows, n_steps),
         in_specs=[
             pl.BlockSpec((tr, d_model), lambda r, j, e, lv: (r, 0)),
-            *[pl.BlockSpec((d_model, bs), w1_map(g)) for g in range(ff_group)],
-            *[pl.BlockSpec((bs, d_model), w2_map(g)) for g in range(ff_group)],
+            pl.BlockSpec((d_model, bs * ff_group),
+                         lambda r, j, e, lv: (0, w_idx(r, j, e, lv))),
+            pl.BlockSpec((bs * ff_group, d_model),
+                         lambda r, j, e, lv: (w_idx(r, j, e, lv), 0)),
         ],
         out_specs=pl.BlockSpec((tr, d_model), lambda r, j, e, lv: (r, 0)),
         scratch_shapes=[pltpu.VMEM((tr, d_model), jnp.float32)],
     )
+    w_bytes = 4 * d_model * bs * ff_group * jnp.dtype(w1.dtype).itemsize
     return pl.pallas_call(
-        functools.partial(
-            _dropless_kernel, n_steps=n_steps, f_blocks=f_blocks,
-            ff_group=ff_group, act=act,
-        ),
+        functools.partial(_dropless_kernel, n_steps=n_steps, act=act),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t_pad, d_model), out_dtype),
-        compiler_params=compiler_params(("parallel", "arbitrary")),
+        compiler_params=compiler_params(
+            ("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024 if w_bytes > 8 * 2**20 else None,
+        ),
         interpret=interpret,
     )(
         expert_of_row.astype(jnp.int32),
         live,
         x,
-        *([w1] * ff_group),
-        *([w2] * ff_group),
+        w1,
+        w2,
     )

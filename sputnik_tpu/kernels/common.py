@@ -21,12 +21,20 @@ def use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def compiler_params(dimension_semantics):
-    """Build CompilerParams across jax versions."""
+def compiler_params(dimension_semantics, vmem_limit_bytes: int | None = None):
+    """Build CompilerParams across jax versions.
+
+    ``vmem_limit_bytes`` raises Mosaic's scoped-VMEM ceiling above the 16 MB
+    default (v5e has 128 MB physical VMEM) for kernels that pin large
+    operand blocks, e.g. whole-expert W strips in the dropless FFN.
+    """
     cls = getattr(pltpu, "CompilerParams", None) or getattr(
         pltpu, "TPUCompilerParams"
     )
-    return cls(dimension_semantics=tuple(dimension_semantics))
+    kw = {}
+    if vmem_limit_bytes is not None:
+        kw["vmem_limit_bytes"] = int(vmem_limit_bytes)
+    return cls(dimension_semantics=tuple(dimension_semantics), **kw)
 
 
 def pick_tile(dim: int, preferred: int, minimum: int = 128) -> int:

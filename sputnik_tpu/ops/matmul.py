@@ -470,8 +470,33 @@ def _dss_flat_can(a, b, transpose_a=False, transpose_b=False, out_dtype=None,
     )
 
 
+def _dss_worklist_can(a, b, transpose_a=False, transpose_b=False,
+                      out_dtype=None, work_budget=None, **kw):
+    """Exact-intersection work list for TRACED metadata: wins over the
+    masked stream whenever its static step bound (from the nnz hints)
+    undercuts the masked kernel's full-row-extent grid."""
+    if not _dss_can(a, b, transpose_a=transpose_a, transpose_b=transpose_b,
+                    out_dtype=out_dtype):
+        return False
+    if _concrete(a.offsets, a.indices, b.offsets, b.indices):
+        return False  # the planned flat schedule is strictly better
+    budget = work_budget if work_budget is not None else bsr_dss.worklist_budget(
+        a, b, transpose_a=transpose_a, transpose_b=transpose_b
+    )
+    if budget is None:
+        return False
+    bs = a.block_size
+    m_blocks = (a.cols if transpose_a else a.rows) // bs
+    n_blocks = (b.rows if transpose_b else b.cols) // bs
+    row_hint = a.max_col_nnz if transpose_a else a.max_row_nnz
+    k_blocks = (a.rows if transpose_a else a.cols) // bs
+    masked_steps = m_blocks * n_blocks * (row_hint or k_blocks)
+    return budget < masked_steps
+
+
 registry.register("dss", "pallas_flat_schedule", _dss_flat_can, bsr_flat.dss_flat)
 registry.register("dss", "pallas_densify_stream", _dss_densify_can, via_dense.dss)
+registry.register("dss", "pallas_worklist", _dss_worklist_can, bsr_dss.dss_worklist)
 registry.register("dss", "pallas_masked_stream", _dss_can, bsr_dss.dss)
 registry.register("dss", "jnp_fallback", lambda *a, **k: True, reference.dss)
 

@@ -7,6 +7,7 @@ minimum sizes, multiple inner blocks, 50%/25% sparsity, unordered indices.
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from sputnik_tpu import ops
@@ -145,6 +146,46 @@ def test_dss(rng, m, k, n, density, unordered, ta, tb):
         transpose_b=tb,
     )
     _check(out, expected)
+
+
+@pytest.mark.parametrize("ta,tb", MODES)
+@pytest.mark.parametrize("m,k,n,density,unordered", PROBLEMS[3:6])
+def test_dss_worklist(rng, m, k, n, density, unordered, ta, tb):
+    """Exact-intersection DSS work list (round-3): jnp-built merged list
+    fed through scalar prefetch — the traced-metadata analogue of the
+    reference's in-kernel IndexMerge (index_merge.h:90-227)."""
+    a_shape, b_shape = _dims(m, k, n, ta, tb)
+    a = _mk_sparse(rng, *a_shape, density, unordered)
+    b = _mk_sparse(rng, *b_shape, density, unordered)
+    out = ops.matmul_dss(a, b, transpose_a=ta, transpose_b=tb, variant="pallas_worklist")
+    expected = testing.dense_oracle_matmul(
+        np.asarray(a.to_dense()),
+        np.asarray(b.to_dense()),
+        transpose_a=ta,
+        transpose_b=tb,
+    )
+    _check(out, expected)
+
+
+def test_dss_worklist_traced_dispatch(rng):
+    """Under jit (traced metadata) the registry reaches an exact path and
+    the result still matches; an empty intersection yields exact zeros."""
+    m = k = n = 384
+    a = _mk_sparse(rng, m, k, 0.2, True)
+    b = _mk_sparse(rng, k, n, 0.2, True)
+    out = jax.jit(lambda x, y: ops.matmul_dss(x, y))(a, b)
+    expected = testing.dense_oracle_matmul(
+        np.asarray(a.to_dense()), np.asarray(b.to_dense())
+    )
+    _check(out, expected)
+    # Disjoint patterns: A only touches k-block 0, B rows only k-block 2.
+    blocks = rng.standard_normal((3, 128, 128)).astype(np.float32)
+    a2 = testing.bsr_from_blocks(m, k, [0, 1, 2], [0, 0, 0], blocks)
+    b2 = testing.bsr_from_blocks(k, n, [2, 2, 2], [0, 1, 2], blocks)
+    out2 = jax.jit(
+        lambda x, y: ops.matmul_dss(x, y, variant="pallas_worklist")
+    )(a2, b2)
+    np.testing.assert_array_equal(np.asarray(out2), 0.0)
 
 
 @pytest.mark.parametrize("ta,tb", MODES)
