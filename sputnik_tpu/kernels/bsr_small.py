@@ -20,9 +20,12 @@ Work skipped = exactly the absent blocks (the sparse saving the reference
 reserved the enum for). Padding steps point at one appended zero block,
 so no masking is needed in-kernel.
 
-Modes: NN / NT (the dense operand flips via its index map). Transposed
-sparse operands fall back to the registry's jnp variant — the reference
-wired no small-block mode at all, so this is strictly more coverage.
+Round 3 extends the family to ALL the ops the reference reserved the enum
+for: DSD in all four transpose modes (transposed streams ride the
+transpose metadata; transposition is dot dimension numbers, never data
+movement), DDS via the operand-swap mirror (one extra output transpose
+pass), and a native packed SDD (SDDMM at small blocks). The reference
+wired no small-block mode at all, so every mode here is net-new coverage.
 """
 
 from __future__ import annotations
@@ -38,22 +41,35 @@ from jax.experimental.pallas import tpu as pltpu
 from sputnik_tpu.formats import BlockSparseMatrix
 from sputnik_tpu.kernels.common import cdiv, compiler_params, pick_tile, use_interpret
 
-__all__ = ["dsd_smallblock", "plan_smallblock"]
+__all__ = [
+    "dsd_smallblock", "dds_smallblock", "sdd_smallblock",
+    "plan_smallblock", "plan_sdd_smallblock",
+]
 
 SUPER = 128  # MXU-aligned supertile edge
 
 
-def plan_smallblock(a: BlockSparseMatrix):
+def plan_smallblock(a: BlockSparseMatrix, *, transposed: bool = False):
     """(out_ids, subs, deps, data_ids, n_steps, row_counts) host-side.
 
-    Step = up to ``pack`` consecutive blocks of ONE block-row, concatenated
-    along k. ``out_ids`` (super-row per step) is non-decreasing. Padding
-    slots point at block index ``nnz`` (an appended zero block).
+    Step = up to ``pack`` consecutive blocks of ONE block-row (block-COLUMN
+    when ``transposed`` — reached through the transpose metadata, the
+    small-block analogue of ``block_tile_access_iterator.h:217-234``),
+    concatenated along k. ``out_ids`` (super-row per step) is
+    non-decreasing. Padding slots point at block index ``nnz`` (an appended
+    zero block).
     """
     bs = a.block_size
     pack = SUPER // bs
-    offs = np.asarray(a.offsets)
-    deps_all = np.asarray(a.indices)
+    if transposed:
+        at = a.with_transpose_metadata()
+        offs = np.asarray(at.offsets_t)
+        deps_all = np.asarray(at.indices_t)
+        data_all = np.asarray(at.block_offsets)
+    else:
+        offs = np.asarray(a.offsets)
+        deps_all = np.asarray(a.indices)
+        data_all = None
     nnz = a.nnz_blocks
     n_rows = len(offs) - 1
     out_ids, subs, deps, datas = [], [], [], []
@@ -67,7 +83,11 @@ def plan_smallblock(a: BlockSparseMatrix):
             out_ids.append(sup)
             subs.append(sub)
             deps.extend([int(deps_all[b]) for b in chunkb] + [0] * pad)
-            datas.extend(chunkb + [nnz] * pad)  # nnz -> appended zero block
+            phys = (
+                chunkb if data_all is None
+                else [int(data_all[b]) for b in chunkb]
+            )
+            datas.extend(phys + [nnz] * pad)  # nnz -> appended zero block
             row_counts[sup] += 1
     as_i32 = lambda x: jnp.asarray(np.asarray(x, np.int32))
     return (
@@ -82,6 +102,7 @@ def _small_kernel(
     pack: int,
     n_steps: int,
     bs: int,
+    transpose_a: bool,
     transpose_b: bool,
 ):
     a_refs = refs[:pack]
@@ -99,17 +120,25 @@ def _small_kernel(
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    lhs = jnp.concatenate(
-        [a_refs[g][0] for g in range(pack)], axis=1
-    )  # (bs, pack*bs = 128)
+    if transpose_a:
+        # Blocks stored (k-rows, out-cols): sum_g blk_g^T @ panel_g ==
+        # concat(blk, axis=0)^T-contracted — no physical transpose, only
+        # dot dims (the reference's BlockColumnMajor layout dispatch,
+        # block_mma.h:179-237, as dimension numbers).
+        lhs = jnp.concatenate([a_refs[g][0] for g in range(pack)], axis=0)
+        lc = 0  # contract the packed 128-deep k axis
+    else:
+        lhs = jnp.concatenate([a_refs[g][0] for g in range(pack)], axis=1)
+        lc = 1
     if transpose_b:  # panels stored (bn, bs): concat columns, contract them
         rhs = jnp.concatenate([b_refs[g][:] for g in range(pack)], axis=1)
-        dims = (((1,), (1,)), ((), ()))
+        rc = 1
     else:  # panels (bs, bn): concat rows
         rhs = jnp.concatenate([b_refs[g][:] for g in range(pack)], axis=0)
-        dims = (((1,), (0,)), ((), ()))
+        rc = 0
     prod = jax.lax.dot_general(
-        lhs, rhs, dims, preferred_element_type=jnp.float32
+        lhs, rhs, (((lc,), (rc,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )  # (bs, bn)
     sub = subs[j]
     acc_ref[pl.ds(sub * bs, bs)] += prod
@@ -130,17 +159,19 @@ def dsd_smallblock(
     schedule=None,  # plan_smallblock(a) result (the MatmulEx discipline)
     interpret: bool | None = None,
 ) -> jax.Array:
-    """C = A_smallblock @ op(B): sparse compute savings at bs in {16, 32, 64}."""
-    if transpose_a:
-        raise NotImplementedError("small-block DSD: transposed A falls back")
+    """C = op(A_smallblock) @ op(B): sparse compute savings at bs in
+    {16, 32, 64}, all four transpose modes (``transpose_a`` streams through
+    the transpose metadata; a caller-provided ``schedule`` must have been
+    planned with the same ``transposed`` flag)."""
     interpret = use_interpret() if interpret is None else interpret
     out_dtype = out_dtype or a.dtype
     bs = a.block_size
     pack = SUPER // bs
-    m_dim, k_dim = a.rows, a.cols
+    m_dim = a.cols if transpose_a else a.rows
     n_dim = b.shape[0] if transpose_b else b.shape[1]
     out_ids, subs, deps, datas, n_steps, row_counts = (
-        schedule if schedule is not None else plan_smallblock(a)
+        schedule if schedule is not None
+        else plan_smallblock(a, transposed=transpose_a)
     )
     if n_steps == 0:
         return jnp.zeros((m_dim, n_dim), out_dtype)
@@ -174,7 +205,7 @@ def dsd_smallblock(
     out = pl.pallas_call(
         functools.partial(
             _small_kernel, pack=pack, n_steps=n_steps, bs=bs,
-            transpose_b=transpose_b,
+            transpose_a=transpose_a, transpose_b=transpose_b,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
@@ -188,3 +219,159 @@ def dsd_smallblock(
         mask = jnp.repeat(jnp.asarray(row_counts > 0), SUPER)
         out = jnp.where(mask[:, None], out, jnp.zeros([], out.dtype))
     return out[:m_dim]
+
+
+def dds_smallblock(
+    a: jax.Array,
+    b: BlockSparseMatrix,
+    *,
+    transpose_a: bool = False,
+    transpose_b: bool = False,
+    out_dtype=None,
+    interpret: bool | None = None,
+    **kw,
+) -> jax.Array:
+    """C = op(A) @ op(B_smallblock) via the DSD mirror.
+
+    C^T = op(B)^T @ op(A)^T, which IS :func:`dsd_smallblock` with flipped
+    transpose flags — the dense operand's orientation costs only index
+    maps; the one real extra pass is the output transpose (an XLA
+    on-chip transpose, ~2 * |C| / HBM_bw). Matches the reference's
+    operand-swap layout specializations (block_mma.h:269-407) at small
+    block sizes the reference reserved but never wired
+    (arguments.h:13-19).
+    """
+    ct = dsd_smallblock(
+        b, a,
+        transpose_a=not transpose_b,
+        transpose_b=not transpose_a,
+        out_dtype=out_dtype,
+        interpret=interpret,
+        **kw,
+    )
+    return ct.T
+
+
+def plan_sdd_smallblock(topology: BlockSparseMatrix):
+    """(rows, cols, src, n_steps) for the small-block SDD kernel: step =
+    up to ``pack`` consecutive nonzero output blocks of ONE block-row.
+    ``src[i]`` is packed output block i's flat slot ``step * pack + g`` in
+    the kernel's step-major output (the inverse of the padding layout)."""
+    bs = topology.block_size
+    pack = SUPER // bs
+    offs = np.asarray(topology.offsets)
+    cols_all = np.asarray(topology.indices)
+    nnz = topology.nnz_blocks
+    rows_l, cols_l = [], []
+    src = np.zeros((nnz,), np.int64)
+    step = 0
+    for row in range(len(offs) - 1):
+        lo, hi = int(offs[row]), int(offs[row + 1])
+        for base in range(lo, hi, pack):
+            chunk = list(range(base, min(base + pack, hi)))
+            pad = pack - len(chunk)
+            rows_l.append(row)
+            cols_l.extend([int(cols_all[i]) for i in chunk] + [0] * pad)
+            for g, i in enumerate(chunk):
+                src[i] = step * pack + g
+            step += 1
+    as_i32 = lambda x: jnp.asarray(np.asarray(x, np.int32))
+    return as_i32(rows_l), as_i32(cols_l), as_i32(src), step
+
+
+def _sdd_small_kernel(
+    rows, cols, src,
+    a_ref, *refs,
+    pack: int,
+    transpose_a: bool,
+    transpose_b: bool,
+):
+    b_refs = refs[:pack]
+    out_ref = refs[pack]
+    del rows, cols, src
+    # One full-K dot per step: (bs, K) x (K, pack*bs) -> the step's pack
+    # output blocks side by side (one MXU call, like the 128-path's
+    # output-stationary SDD but with the K dim un-tiled — small outputs
+    # make K-tiling accumulation overhead dominate).
+    rhs = jnp.concatenate(
+        [b_refs[g][:] for g in range(pack)],
+        axis=0 if transpose_b else 1,
+    )
+    lc = 0 if transpose_a else 1
+    rc = 1 if transpose_b else 0
+    prod = jax.lax.dot_general(
+        a_ref[:], rhs, (((lc,), (rc,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bs, pack*bs)
+    out_ref[0] = prod.astype(out_ref.dtype)
+
+
+def sdd_smallblock(
+    a: jax.Array,
+    b: jax.Array,
+    topology: BlockSparseMatrix,
+    *,
+    transpose_a: bool = False,
+    transpose_b: bool = False,
+    out_dtype=None,
+    schedule=None,  # plan_sdd_smallblock(topology) result
+    interpret: bool | None = None,
+) -> BlockSparseMatrix:
+    """C_smallblock = op(A) @ op(B) masked to ``topology`` (SDDMM), block
+    sizes {16, 32, 64}: compute = exactly the nonzero output blocks.
+
+    One grid step computes ``pack = 128/bs`` consecutive output blocks of
+    a block-row with a single full-K MXU dot sharing the row's A strip;
+    each slot writes straight to its packed position (padding slots to a
+    discard slot, sliced off) — ``kernel.h:86-90``'s one-program-per-
+    nonzero-block decomposition, packed for the MXU.
+    """
+    interpret = use_interpret() if interpret is None else interpret
+    out_dtype = out_dtype or topology.dtype
+    bs = topology.block_size
+    pack = SUPER // bs
+    nnz = topology.nnz_blocks
+    if nnz == 0:
+        return topology
+    rows, cols, src, n_steps = (
+        schedule if schedule is not None else plan_sdd_smallblock(topology)
+    )
+    k_dim = a.shape[1] if not transpose_a else a.shape[0]
+
+    # A strip: the step's block-row, full K.
+    if transpose_a:  # A stored (K, M)
+        a_spec = pl.BlockSpec((k_dim, bs), lambda j, r_, c_, s_: (0, r_[j]))
+    else:
+        a_spec = pl.BlockSpec((bs, k_dim), lambda j, r_, c_, s_: (r_[j], 0))
+    if transpose_b:  # B stored (N, K)
+        def b_map(g):
+            return lambda j, r_, c_, s_: (c_[j * pack + g], 0)
+        b_specs = [pl.BlockSpec((bs, k_dim), b_map(g)) for g in range(pack)]
+    else:  # B stored (K, N)
+        def b_map(g):
+            return lambda j, r_, c_, s_: (0, c_[j * pack + g])
+        b_specs = [pl.BlockSpec((k_dim, bs), b_map(g)) for g in range(pack)]
+
+    out = pl.pallas_call(
+        functools.partial(
+            _sdd_small_kernel, pack=pack,
+            transpose_a=transpose_a, transpose_b=transpose_b,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(n_steps,),
+            in_specs=[a_spec] + b_specs,
+            out_specs=pl.BlockSpec(
+                (1, bs, SUPER), lambda j, r_, c_, s_: (j, 0, 0)
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_steps, bs, SUPER), out_dtype),
+        compiler_params=compiler_params(("arbitrary",)),
+        interpret=interpret,
+    )(rows, cols, src, a, *([b] * pack))
+    # Step-major (n_steps, bs, pack*bs) -> packed (nnz, bs, bs): split the
+    # lane axis and gather real slots (pads dropped); one cheap fused XLA
+    # pass over ~nnz blocks.
+    slots = out.reshape(n_steps, bs, pack, bs).transpose(0, 2, 1, 3)
+    data = slots.reshape(n_steps * pack, bs, bs)[src]
+    return topology.with_data(data)

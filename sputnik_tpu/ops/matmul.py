@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from sputnik_tpu.formats import BlockSparseMatrix
 from sputnik_tpu.kernels import (
     bsr_dsd,
+    bsr_cres,
     bsr_dsd_pipelined,
     bsr_flat,
     bsr_panel,
@@ -113,6 +114,19 @@ def _dsd_panel_can(a, b, transpose_a=False, transpose_b=False, out_dtype=None,
                      a.block_offsets)
 
 
+def _dsd_cres_can(a, b, transpose_a=False, transpose_b=False, out_dtype=None, **kw):
+    """C-resident schedule: every operand moves once; needs the fp32
+    accumulator (m x n) + dense strips to fit VMEM."""
+    if not _dsd_can(a, b, transpose_a=transpose_a, transpose_b=transpose_b,
+                    out_dtype=out_dtype):
+        return False
+    m_dim = a.cols if transpose_a else a.rows
+    n_dim = b.shape[0] if transpose_b else b.shape[1]
+    strip = n_dim * a.block_size * jnp.dtype(b.dtype).itemsize
+    return bsr_cres.fits_vmem(m_dim, n_dim, strip)
+
+
+registry.register("dsd", "pallas_cres", _dsd_cres_can, bsr_cres.dsd_cres)
 registry.register("dsd", "pallas_stream", _dsd_can, bsr_dsd.dsd)
 # Alternative kernels registered AFTER the streamed default so first-fit
 # keeps the measured winner (stream 38.3 us vs panel 46.7 us at the
@@ -130,7 +144,6 @@ def _dsd_small_can(a, b, transpose_a=False, transpose_b=False, out_dtype=None, *
     k_dim = b.shape[1] if transpose_b else b.shape[0]
     return (
         a.block_size in (16, 32, 64)
-        and not transpose_a
         and a.nnz_blocks > 0
         and n_dim % 128 == 0
         and k_dim % a.block_size == 0
@@ -144,6 +157,35 @@ def _dsd_small_can(a, b, transpose_a=False, transpose_b=False, out_dtype=None, *
 
 registry.register("dsd", "pallas_smallblock", _dsd_small_can, bsr_small.dsd_smallblock)
 registry.register("dsd", "jnp_fallback", lambda *a, **k: True, reference.dsd)
+
+
+def _dds_small_can(a, b, transpose_a=False, transpose_b=False, out_dtype=None, **kw):
+    m_dim = a.shape[1] if transpose_a else a.shape[0]
+    k_dim = a.shape[0] if transpose_a else a.shape[1]
+    return (
+        b.block_size in (16, 32, 64)
+        and b.nnz_blocks > 0
+        and m_dim % 128 == 0
+        and k_dim % b.block_size == 0
+        and _concrete(b.offsets, b.indices)
+        and all(
+            jnp.dtype(dt) in (jnp.dtype(d) for d in _PALLAS_DTYPES)
+            for dt in (a.dtype, b.dtype, out_dtype or b.dtype)
+        )
+    )
+
+
+def _sdd_small_can(a, b, topology, transpose_a=False, transpose_b=False,
+                   out_dtype=None, **kw):
+    return (
+        topology.block_size in (16, 32, 64)
+        and topology.nnz_blocks > 0
+        and _concrete(topology.offsets, topology.indices)
+        and all(
+            jnp.dtype(dt) in (jnp.dtype(d) for d in _PALLAS_DTYPES)
+            for dt in (a.dtype, b.dtype, out_dtype or topology.dtype)
+        )
+    )
 
 
 def matmul_dsd(
@@ -193,9 +235,21 @@ def _dds_panel_can(a, b, transpose_a=False, transpose_b=False, out_dtype=None,
                      b.block_offsets)
 
 
+def _dds_cres_can(a, b, transpose_a=False, transpose_b=False, out_dtype=None, **kw):
+    if not _dds_can(a, b, transpose_a=transpose_a, transpose_b=transpose_b,
+                    out_dtype=out_dtype):
+        return False
+    m_dim = a.shape[1] if transpose_a else a.shape[0]
+    n_dim = b.rows if transpose_b else b.cols
+    strip = m_dim * b.block_size * jnp.dtype(a.dtype).itemsize
+    return bsr_cres.fits_vmem(m_dim, n_dim, strip)
+
+
+registry.register("dds", "pallas_cres", _dds_cres_can, bsr_cres.dds_cres)
 registry.register("dds", "pallas_stream", _dds_can, bsr_dsd.dds)
 registry.register("dds", "pallas_panel", _dds_panel_can, bsr_panel.dds_panel)
 registry.register("dds", "pallas_pipelined", _dds_can, bsr_dsd_pipelined.dds)
+registry.register("dds", "pallas_smallblock", _dds_small_can, bsr_small.dds_smallblock)
 registry.register("dds", "jnp_fallback", lambda *a, **k: True, reference.dds)
 
 
@@ -270,6 +324,7 @@ def plan_sdd(topology: BlockSparseMatrix, k_dim: int, *, itemsize: int = 2):
 
 registry.register("sdd", "pallas_panel", _sdd_panel_can, bsr_sdd.sdd_panel)
 registry.register("sdd", "pallas_output_stationary", _sdd_can, bsr_sdd.sdd)
+registry.register("sdd", "pallas_smallblock", _sdd_small_can, bsr_small.sdd_smallblock)
 registry.register("sdd", "jnp_fallback", lambda *a, **k: True, reference.sdd)
 
 

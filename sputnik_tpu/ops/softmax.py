@@ -52,16 +52,29 @@ def bsr_softmax(
     *,
     scale: float | None = None,
     causal: bool = False,
+    variant: str | None = None,  # "pallas" | "jnp" | None = auto
 ) -> BlockSparseMatrix:
     """Row-wise softmax over the nonzero blocks.
 
     ``causal=True`` applies an intra-block lower-triangular mask to diagonal
     blocks and fully masks blocks above the diagonal — with a
     block-lower-triangular topology this yields exact causal attention.
+
+    Default dispatch: the two-pass Pallas kernel (exact-nnz bytes, 3 passes
+    in the storage dtype — ``kernels.bsr_softmax``) for 128-blocks; the jnp
+    segment-op chain remains for small blocks and as the second oracle.
     """
     bs = m.block_size
     if m.nnz_blocks == 0:
         return m
+    if variant is None:
+        variant = "pallas" if bs == 128 else "jnp"
+    if variant == "pallas":
+        from sputnik_tpu.kernels.bsr_softmax import bsr_softmax_pallas
+
+        return bsr_softmax_pallas(m, scale=scale, causal=causal)
+    if variant != "jnp":
+        raise ValueError(f"bsr_softmax variant must be 'pallas' or 'jnp', got {variant!r}")
     data = m.data.astype(jnp.float32)
     if scale is not None:
         data = data * scale

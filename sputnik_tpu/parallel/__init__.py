@@ -15,11 +15,17 @@ from sputnik_tpu.parallel.sharding import (
     sharded_spmm_sell,
     sharded_spmm_kshard,
 )
+from sputnik_tpu.parallel.comm_audit import collective_bytes, hlo_collectives
 from sputnik_tpu.parallel.attention import (
     sharded_block_sparse_attention,
     partition_topology_rows,
 )
-from sputnik_tpu.parallel.pipeline import pipeline_apply, stack_stage_params
+from sputnik_tpu.parallel.pipeline import (
+    pipeline_apply,
+    pipeline_train_step,
+    simulate_1f1b,
+    stack_stage_params,
+)
 from sputnik_tpu.parallel.ring_attention import (
     RingTopology,
     partition_topology_ring,
@@ -41,7 +47,11 @@ __all__ = [
     "sharded_spmm_kshard",
     "sharded_block_sparse_attention",
     "partition_topology_rows",
+    "collective_bytes",
+    "hlo_collectives",
     "pipeline_apply",
+    "pipeline_train_step",
+    "simulate_1f1b",
     "stack_stage_params",
     "RingTopology",
     "partition_topology_ring",

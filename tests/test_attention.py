@@ -40,6 +40,44 @@ def test_bsr_softmax_matches_dense(rng):
     np.testing.assert_allclose(got, expected, atol=1e-4)
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_bsr_softmax_pallas_matches_jnp(rng, causal):
+    """Round-3 Pallas two-pass kernel == the jnp segment-op oracle,
+    including the causal contract and an empty block-row."""
+    x = rng.standard_normal((640, 512)).astype(np.float32)
+    mask_blocks = rng.random((5, 4)) < 0.5
+    mask_blocks[2, :] = False  # empty block-row
+    mask_blocks[0, 0] = True
+    mask = np.repeat(np.repeat(mask_blocks, 128, 0), 128, 1)
+    m = bsr_from_dense(np.where(mask, x, 0.0) + np.where(mask, 1e-9, 0), 128)
+    out_p = bsr_softmax(m, scale=0.37, causal=causal, variant="pallas")
+    out_j = bsr_softmax(m, scale=0.37, causal=causal, variant="jnp")
+    np.testing.assert_allclose(
+        np.asarray(out_p.data, np.float32),
+        np.asarray(out_j.data, np.float32),
+        atol=1e-5,
+    )
+
+
+def test_bsr_softmax_pallas_grad_matches_jnp(rng):
+    x = rng.standard_normal((512, 512)).astype(np.float32)
+    mask_blocks = rng.random((4, 4)) < 0.6
+    mask_blocks[0, 0] = True
+    mask = np.repeat(np.repeat(mask_blocks, 128, 0), 128, 1)
+    m = bsr_from_dense(np.where(mask, x, 0.0) + np.where(mask, 1e-9, 0), 128)
+
+    def loss(data, variant):
+        out = bsr_softmax(m.with_data(data), scale=0.5, causal=True,
+                          variant=variant)
+        return jnp.sum(jnp.sin(out.data.astype(jnp.float32) * 3.0))
+
+    gp = jax.grad(lambda d: loss(d, "pallas"))(m.data)
+    gj = jax.grad(lambda d: loss(d, "jnp"))(m.data)
+    np.testing.assert_allclose(
+        np.asarray(gp, np.float32), np.asarray(gj, np.float32), atol=1e-4
+    )
+
+
 def test_block_sparse_attention_full_topology_equals_dense(rng):
     t, dh = 256, 128
     q = jnp.asarray(rng.standard_normal((t, dh)).astype(np.float32))

@@ -111,6 +111,67 @@ def test_smallblock_packed_dsd(rng, bs, tb):
     np.testing.assert_allclose(np.asarray(out, np.float32), expected, atol=ATOL)
 
 
+@pytest.mark.parametrize("bs", [32, 64])
+@pytest.mark.parametrize("ta,tb", [(False, False), (True, False),
+                                   (False, True), (True, True)])
+def test_smallblock_dsd_all_modes(rng, bs, ta, tb):
+    """Round-3: transposed small-block streams ride the transpose metadata
+    (dot dims, never data movement) — all four modes."""
+    m, k, n = 384, 256, 512
+    a_shape = (k, m) if ta else (m, k)
+    a = testing.random_bsr(rng, *a_shape, a_shape[0] * a_shape[1] // 3, bs)
+    b_kn = rng.standard_normal((k, n)).astype(np.float32)
+    b = jnp.asarray(b_kn.T.copy() if tb else b_kn)
+    out = ops.matmul_dsd(a, b, transpose_a=ta, transpose_b=tb,
+                         variant="pallas_smallblock")
+    expected = testing.dense_oracle_matmul(
+        np.asarray(a.to_dense()), b_kn, transpose_a=ta
+    )
+    np.testing.assert_allclose(np.asarray(out, np.float32), expected, atol=ATOL)
+
+
+@pytest.mark.parametrize("bs", [32, 64])
+@pytest.mark.parametrize("ta,tb", [(False, False), (True, False),
+                                   (False, True), (True, True)])
+def test_smallblock_dds_all_modes(rng, bs, ta, tb):
+    """Small-block DDS through the operand-swap mirror."""
+    m, k, n = 512, 256, 384
+    b_shape = (n, k) if tb else (k, n)
+    bsp = testing.random_bsr(rng, *b_shape, b_shape[0] * b_shape[1] // 3, bs)
+    a_mk = rng.standard_normal((m, k)).astype(np.float32)
+    a = jnp.asarray(a_mk.T.copy() if ta else a_mk)
+    out = ops.matmul_dds(a, bsp, transpose_a=ta, transpose_b=tb,
+                         variant="pallas_smallblock")
+    expected = testing.dense_oracle_matmul(
+        a_mk, np.asarray(bsp.to_dense()), transpose_b=tb
+    )
+    np.testing.assert_allclose(np.asarray(out, np.float32), expected, atol=ATOL)
+
+
+@pytest.mark.parametrize("bs", [16, 64])
+@pytest.mark.parametrize("ta,tb", [(False, False), (True, False),
+                                   (False, True), (True, True)])
+def test_smallblock_sdd_all_modes(rng, bs, ta, tb):
+    """Native packed small-block SDD (SDDMM): compute = exactly the
+    nonzero output blocks, pack blocks per MXU dot."""
+    from sputnik_tpu.kernels import reference as ref_kernels
+
+    m, k, n = 384, 256, 512
+    topo = testing.random_bsr(rng, m, n, m * n // 3, bs)
+    a_mk = rng.standard_normal((m, k)).astype(np.float32)
+    b_kn = rng.standard_normal((k, n)).astype(np.float32)
+    a = jnp.asarray(a_mk.T.copy() if ta else a_mk)
+    b = jnp.asarray(b_kn.T.copy() if tb else b_kn)
+    out = ops.matmul_sdd(a, b, topo, transpose_a=ta, transpose_b=tb,
+                         variant="pallas_smallblock")
+    full = testing.dense_oracle_matmul(a_mk, b_kn)
+    expected = np.asarray(
+        ref_kernels.extract_blocks(jnp.asarray(full.astype(np.float32)), topo)
+    )
+    np.testing.assert_allclose(np.asarray(out.data, np.float32), expected,
+                               atol=ATOL)
+
+
 def test_smallblock_unordered_and_ragged(rng):
     """Unordered column ids and rows whose nnz is not a multiple of the
     pack width exercise the zero-block padding path."""
