@@ -295,6 +295,25 @@ def audit(d: int = 2048, density: float = 0.25, dtype_name: str = "bfloat16",
         perturb=0,
         vpu=6 * ftopo.nnz,
     )
+    # Round-3 multi-head kernel: head axis in the grid, two query
+    # row-blocks per step sharing their topology columns' union — the
+    # same roofline terms x H (the paired strip should shrink the
+    # realized VPU bookkeeping per score, which is what the frac shows).
+    H = 8
+    qh = jnp.asarray(
+        rng.standard_normal((H, d, dh)).astype(np.float32)
+    ).astype(dtype)
+    add(
+        "flash_mha(8h)",
+        lambda q_, k_, v_: attn_lib.multihead_block_sparse_attention(
+            q_, k_, v_, ftopo, causal=True, fused=True
+        ),
+        (qh, qh + 0.1, qh - 0.1),
+        H * f_flops,
+        H * (ftopo.nnz_blocks * 2 * 128 * dh * isz + 2 * d * dh * isz),
+        perturb=0,
+        vpu=6 * H * ftopo.nnz,
+    )
     return rows
 
 

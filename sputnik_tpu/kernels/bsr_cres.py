@@ -72,6 +72,10 @@ def _cres_kernel(
 ):
     j = pl.program_id(0)
 
+    # acc_ref is (groups, bs, n) [DSD rows] or (groups, m, bs) [DDS cols]:
+    # 3-D with the flush group MAJOR, so the data-dependent accumulate is
+    # a major-dim index (cheap for Mosaic) rather than a dynamic sublane/
+    # lane offset into one flat (m, n) buffer.
     @pl.when(j == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
@@ -85,18 +89,12 @@ def _cres_kernel(
             lhs, rhs, dims, preferred_element_type=jnp.float32
         )
         g = outs[jnp.minimum(j, nnz - 1)]
-        if out_axis == 0:
-            acc_ref[pl.ds(g * bs, bs)] += prod
-        else:
-            acc_ref[:, pl.ds(g * bs, bs)] += prod
+        acc_ref[g] += prod
 
     @pl.when(j >= nnz)
     def _():
         g = frows[j]
-        if out_axis == 0:
-            out_ref[:] = acc_ref[pl.ds(g * bs, bs)].astype(out_ref.dtype)
-        else:
-            out_ref[:] = acc_ref[:, pl.ds(g * bs, bs)].astype(out_ref.dtype)
+        out_ref[:] = acc_ref[g].astype(out_ref.dtype)
 
 
 def _cres_call(
@@ -127,10 +125,12 @@ def _cres_call(
         out_spec = pl.BlockSpec(
             (bs, n_dim), lambda j, de, ou, da, fr: (fr[j], 0)
         )
+        acc_shape = (m_dim // bs, bs, n_dim)
     else:
         out_spec = pl.BlockSpec(
             (m_dim, bs), lambda j, de, ou, da, fr: (0, fr[j])
         )
+        acc_shape = (n_dim // bs, m_dim, bs)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(nnz + n_flush,),
@@ -142,7 +142,7 @@ def _cres_call(
             panel_spec,
         ],
         out_specs=out_spec,
-        scratch_shapes=[pltpu.VMEM((m_dim, n_dim), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM(acc_shape, jnp.float32)],
     )
     acc_bytes = m_dim * n_dim * 4
     return pl.pallas_call(

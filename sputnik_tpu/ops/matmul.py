@@ -245,8 +245,21 @@ def _dds_cres_can(a, b, transpose_a=False, transpose_b=False, out_dtype=None, **
     return bsr_cres.fits_vmem(m_dim, n_dim, strip)
 
 
+def _dds_stream_at(a, b, transpose_a=False, transpose_b=False, **kw):
+    """Restage A once (one XLA transpose) so the kernel's per-block dense
+    panels become (bs, bm) contiguous rows instead of thousands of 256-byte
+    strided chunks. Measured v5e @25% bf16: neutral at d=2048 (53.4 vs
+    52.3 us), 13% faster at d=4096 (306.7 vs 351.8) — the restage
+    amortizes as d grows. Autotune promotes it where it wins."""
+    a_t = a if transpose_a else a.T
+    return bsr_dsd.dds(
+        a_t, b, transpose_a=True, transpose_b=transpose_b, **kw
+    )
+
+
 registry.register("dds", "pallas_cres", _dds_cres_can, bsr_cres.dds_cres)
 registry.register("dds", "pallas_stream", _dds_can, bsr_dsd.dds)
+registry.register("dds", "pallas_stream_at", _dds_can, _dds_stream_at)
 registry.register("dds", "pallas_panel", _dds_panel_can, bsr_panel.dds_panel)
 registry.register("dds", "pallas_pipelined", _dds_can, bsr_dsd_pipelined.dds)
 registry.register("dds", "pallas_smallblock", _dds_small_can, bsr_small.dds_smallblock)
