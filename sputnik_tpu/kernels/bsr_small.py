@@ -169,6 +169,13 @@ def dsd_smallblock(
     pack = SUPER // bs
     m_dim = a.cols if transpose_a else a.rows
     n_dim = b.shape[0] if transpose_b else b.shape[1]
+    if transpose_b:
+        # A (bn, bs) panel block has a sub-128 minor dim — illegal on the
+        # real TPU lowering (last block dim must be 128-divisible or the
+        # whole axis). Restage B once (one XLA transpose) and take the NN
+        # panel layout; still beats the densify fallback by ~3x at 10%.
+        b = b.T
+        transpose_b = False
     out_ids, subs, deps, datas, n_steps, row_counts = (
         schedule if schedule is not None
         else plan_smallblock(a, transposed=transpose_a)
@@ -279,28 +286,19 @@ def plan_sdd_smallblock(topology: BlockSparseMatrix):
     return as_i32(rows_l), as_i32(cols_l), as_i32(src), step
 
 
-def _sdd_small_kernel(
-    rows, cols, src,
-    a_ref, *refs,
-    pack: int,
-    transpose_a: bool,
-    transpose_b: bool,
-):
+def _sdd_small_kernel(rows, cols, src, a_ref, *refs, pack: int):
     b_refs = refs[:pack]
     out_ref = refs[pack]
     del rows, cols, src
-    # One full-K dot per step: (bs, K) x (K, pack*bs) -> the step's pack
+    # One full-K dot per step: (bs, K) x (pack*bs, K)^T -> the step's pack
     # output blocks side by side (one MXU call, like the 128-path's
     # output-stationary SDD but with the K dim un-tiled — small outputs
-    # make K-tiling accumulation overhead dominate).
-    rhs = jnp.concatenate(
-        [b_refs[g][:] for g in range(pack)],
-        axis=0 if transpose_b else 1,
-    )
-    lc = 0 if transpose_a else 1
-    rc = 1 if transpose_b else 0
+    # make K-tiling accumulation overhead dominate). Operands are
+    # normalized to row-strip layout by the wrapper (TPU block specs
+    # reject sub-128 minor dims).
+    rhs = jnp.concatenate([b_refs[g][:] for g in range(pack)], axis=0)
     prod = jax.lax.dot_general(
-        a_ref[:], rhs, (((lc,), (rc,)), ((), ())),
+        a_ref[:], rhs, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (bs, pack*bs)
     out_ref[0] = prod.astype(out_ref.dtype)
@@ -338,25 +336,23 @@ def sdd_smallblock(
     )
     k_dim = a.shape[1] if not transpose_a else a.shape[0]
 
-    # A strip: the step's block-row, full K.
-    if transpose_a:  # A stored (K, M)
-        a_spec = pl.BlockSpec((k_dim, bs), lambda j, r_, c_, s_: (0, r_[j]))
-    else:
-        a_spec = pl.BlockSpec((bs, k_dim), lambda j, r_, c_, s_: (r_[j], 0))
-    if transpose_b:  # B stored (N, K)
-        def b_map(g):
-            return lambda j, r_, c_, s_: (c_[j * pack + g], 0)
-        b_specs = [pl.BlockSpec((bs, k_dim), b_map(g)) for g in range(pack)]
-    else:  # B stored (K, N)
-        def b_map(g):
-            return lambda j, r_, c_, s_: (0, c_[j * pack + g])
-        b_specs = [pl.BlockSpec((k_dim, bs), b_map(g)) for g in range(pack)]
+    # Normalize both operands to ROW-strip layout — (bs, K) blocks with the
+    # full K as the minor axis — because TPU block specs reject sub-128
+    # minor dims (a (K, bs) strip would need one). Each restage is one XLA
+    # transpose, amortized over the whole sparse output.
+    if transpose_a:  # A stored (K, M) -> (M, K)
+        a = a.T
+    if not transpose_b:  # B stored (K, N) -> (N, K)
+        b = b.T
+    a_spec = pl.BlockSpec((bs, k_dim), lambda j, r_, c_, s_: (r_[j], 0))
+
+    def b_map(g):
+        return lambda j, r_, c_, s_: (c_[j * pack + g], 0)
+
+    b_specs = [pl.BlockSpec((bs, k_dim), b_map(g)) for g in range(pack)]
 
     out = pl.pallas_call(
-        functools.partial(
-            _sdd_small_kernel, pack=pack,
-            transpose_a=transpose_a, transpose_b=transpose_b,
-        ),
+        functools.partial(_sdd_small_kernel, pack=pack),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(n_steps,),

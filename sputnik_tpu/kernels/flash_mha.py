@@ -35,7 +35,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from sputnik_tpu.formats import BlockSparseMatrix
-from sputnik_tpu.kernels.bsr_flat import _batch_items
 from sputnik_tpu.kernels.common import compiler_params, use_interpret
 from sputnik_tpu.kernels.flash_attention import (
     _NEG_INF,
@@ -63,15 +62,32 @@ def plan_pairs(topology: BlockSparseMatrix, group: int = _GROUP):
     cols_u = (uniq % nb).astype(np.int32)
     fa = np.isin(uniq, np.unique(keys[ri % 2 == 0])).astype(np.int32)
     fb = np.isin(uniq, np.unique(keys[ri % 2 == 1])).astype(np.int32)
-    sched = _batch_items(
-        pairs_u, (cols_u, fa, fb), group, "ssd", len(uniq), ()
-    )
+    # Pure-numpy batching (same shape as bsr_flat._batch_items, whose jnp
+    # outputs become TRACERS when the plan runs at trace time inside jit —
+    # np.asarray on them then throws even for concrete topologies).
+    uniq_p, counts = np.unique(pairs_u, return_counts=True)
+    total = len(pairs_u)
+    avg = total / max(len(uniq_p), 1)
+    group = max(1, min(group, int(round(avg))))
+    padded = (-(-counts // group)) * group
+    total_p = int(padded.sum())
+    cum_items = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    cum_p = np.concatenate([[0], np.cumsum(padded)[:-1]])
+    local = np.arange(total_p, dtype=np.int64) - np.repeat(cum_p, padded)
+    orig_local = np.minimum(local, np.repeat(counts, padded) - 1)
+    item = np.repeat(cum_items, padded) + orig_local
+    flags = (local < np.repeat(counts, padded)).astype(np.int32)
+    step_out = np.repeat(uniq_p, padded // group).astype(np.int32)
     # Group padding duplicates the run's last item with flag 0; fold the
     # pad flag into both membership planes so padded items mask fully.
-    flags = np.asarray(sched.flags)
-    fa2 = jnp.asarray(np.asarray(sched.data_ids) * flags)
-    fb2 = jnp.asarray(np.asarray(sched.other_ids) * flags)
-    return sched.out_ids, sched.dep_ids, fa2, fb2, sched.group, sched.n_steps
+    return (
+        jnp.asarray(step_out),
+        jnp.asarray(cols_u[item].astype(np.int32)),
+        jnp.asarray(fa[item] * flags),
+        jnp.asarray(fb[item] * flags),
+        group,
+        len(step_out),
+    )
 
 
 def _fwd_kernel(

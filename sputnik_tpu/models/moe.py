@@ -362,7 +362,18 @@ def dropless_moe_forward(
     pos_in_expert = jnp.sum((jnp.cumsum(onehot, axis=0) - onehot) * onehot, axis=-1)
     dest = group_start[expert] + pos_in_expert  # always < t_pad (no drops)
 
-    x_perm = jnp.zeros((t_pad, x.shape[1]), cfg.dtype).at[dest].set(x.astype(cfg.dtype))
+    # Permute by GATHER, not payload scatter: scatter only the int32 source
+    # map (16 KB vs 4 MB), append one zero row for the padding slots, then
+    # one fused gather pass builds x_perm (saves the zeros-init pass over
+    # t_pad x d_model; measured round-2: .set scatter beats .add, and this
+    # beats .set by skipping the dense zero fill).
+    src = jnp.full((t_pad,), t, jnp.int32).at[dest].set(
+        jnp.arange(t, dtype=jnp.int32)
+    )
+    x_aug = jnp.concatenate(
+        [x.astype(cfg.dtype), jnp.zeros((1, x.shape[1]), cfg.dtype)], axis=0
+    )
+    x_perm = x_aug[src]
     if impl == "ragged":
         # TPU-native variable-group grouped GEMM: XLA's ragged matmul keeps
         # the MXU at peak with traced group sizes — the dropless case that
@@ -403,7 +414,11 @@ def dropless_moe_forward(
             f"impl must be 'ragged', 'bsr' or 'bsr_fused', got {impl!r}"
         )
 
-    y = jnp.take(y_perm, dest, axis=0).astype(jnp.float32) * prob[:, None]
+    # Scale in the storage dtype: the f32 detour materialized 2 extra
+    # (tokens, d_model) fp32 passes (~25 us of the round-3 glue budget);
+    # the router prob is a per-row scalar, bf16 multiply loses nothing
+    # beyond the storage rounding the output gets anyway.
+    y = jnp.take(y_perm, dest, axis=0) * prob.astype(y_perm.dtype)[:, None]
     me = jnp.mean(probs, axis=0)
     ce = jnp.mean(onehot.astype(jnp.float32), axis=0)
     aux = e * jnp.sum(me * ce)

@@ -126,8 +126,13 @@ def _dsd_cres_can(a, b, transpose_a=False, transpose_b=False, out_dtype=None, **
     return bsr_cres.fits_vmem(m_dim, n_dim, strip)
 
 
-registry.register("dsd", "pallas_cres", _dsd_cres_can, bsr_cres.dsd_cres)
 registry.register("dsd", "pallas_stream", _dsd_can, bsr_dsd.dsd)
+# C-resident schedule: measured v5e @25% bf16 40.0 vs stream's 38.3 us
+# (d=2048) and 307.8 vs 243.3 (d=4096) — the per-step dynamic-indexed
+# fp32 accumulate doesn't overlap the MXU well enough to beat streaming
+# for DSD, so it stays autotune-selectable here; the DDS mirror is where
+# it WINS (dds registration below puts it first).
+registry.register("dsd", "pallas_cres", _dsd_cres_can, bsr_cres.dsd_cres)
 # Alternative kernels registered AFTER the streamed default so first-fit
 # keeps the measured winner (stream 38.3 us vs panel 46.7 us at the
 # d=2048/25%/bf16 audit config) while autotune can still time and promote
@@ -257,6 +262,10 @@ def _dds_stream_at(a, b, transpose_a=False, transpose_b=False, **kw):
     )
 
 
+# C-resident first for DDS: measured v5e @25% bf16 46.0 vs the streamed
+# kernel's 52.3 us (d=2048) and 301.2 vs 351.7 (d=4096) — dep-major
+# natural-order blocks + once-fetched A strips beat the tile-stationary
+# schedule on the mirror side (where streaming pays strided panels).
 registry.register("dds", "pallas_cres", _dds_cres_can, bsr_cres.dds_cres)
 registry.register("dds", "pallas_stream", _dds_can, bsr_dsd.dds)
 registry.register("dds", "pallas_stream_at", _dds_can, _dds_stream_at)

@@ -60,15 +60,21 @@ def bsr_softmax(
     blocks and fully masks blocks above the diagonal — with a
     block-lower-triangular topology this yields exact causal attention.
 
-    Default dispatch: the two-pass Pallas kernel (exact-nnz bytes, 3 passes
-    in the storage dtype — ``kernels.bsr_softmax``) for 128-blocks; the jnp
-    segment-op chain remains for small blocks and as the second oracle.
+    Variants: ``"jnp"`` (default) — the fused XLA segment-op chain; or
+    ``"pallas"`` — the two-pass exact-nnz-bytes kernel
+    (``kernels.bsr_softmax``). Measured v5e @ d=2048/25% f32: jnp 11.4 us
+    vs pallas 34.7 us — softmax does ~4 ns of VPU work per 16K-element
+    block, so the ~300-500 ns per-grid-step cost dominates the Pallas
+    formulation at EVERY size while XLA fuses the whole chain into ~3
+    HBM passes with zero per-block overhead. The kernel stays as a
+    variant (and second oracle); the measured dead-end is the
+    documentation.
     """
     bs = m.block_size
     if m.nnz_blocks == 0:
         return m
     if variant is None:
-        variant = "pallas" if bs == 128 else "jnp"
+        variant = "jnp"
     if variant == "pallas":
         from sputnik_tpu.kernels.bsr_softmax import bsr_softmax_pallas
 
