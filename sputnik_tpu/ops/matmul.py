@@ -133,6 +133,19 @@ registry.register("dsd", "pallas_stream", _dsd_can, bsr_dsd.dsd)
 # for DSD, so it stays autotune-selectable here; the DDS mirror is where
 # it WINS (dds registration below puts it first).
 registry.register("dsd", "pallas_cres", _dsd_cres_can, bsr_cres.dsd_cres)
+
+
+def _dsd_gres_can(a, b, transpose_a=False, transpose_b=False, out_dtype=None,
+                  plan=None, **kw):
+    """Group-resident schedule (host-planned): concrete metadata or a
+    prebuilt plan; any problem size (the accumulator group adapts)."""
+    if not _dsd_can(a, b, transpose_a=transpose_a, transpose_b=transpose_b,
+                    out_dtype=out_dtype):
+        return False
+    return plan is not None or _concrete(a.offsets, a.indices)
+
+
+registry.register("dsd", "pallas_gres", _dsd_gres_can, bsr_cres.dsd_gres)
 # Alternative kernels registered AFTER the streamed default so first-fit
 # keeps the measured winner (stream 38.3 us vs panel 46.7 us at the
 # d=2048/25%/bf16 audit config) while autotune can still time and promote
@@ -267,6 +280,17 @@ def _dds_stream_at(a, b, transpose_a=False, transpose_b=False, **kw):
 # natural-order blocks + once-fetched A strips beat the tile-stationary
 # schedule on the mirror side (where streaming pays strided panels).
 registry.register("dds", "pallas_cres", _dds_cres_can, bsr_cres.dds_cres)
+
+
+def _dds_gres_can(a, b, transpose_a=False, transpose_b=False, out_dtype=None,
+                  plan=None, **kw):
+    if not _dds_can(a, b, transpose_a=transpose_a, transpose_b=transpose_b,
+                    out_dtype=out_dtype):
+        return False
+    return plan is not None or _concrete(b.offsets, b.indices)
+
+
+registry.register("dds", "pallas_gres", _dds_gres_can, bsr_cres.dds_gres)
 registry.register("dds", "pallas_stream", _dds_can, bsr_dsd.dds)
 registry.register("dds", "pallas_stream_at", _dds_can, _dds_stream_at)
 registry.register("dds", "pallas_panel", _dds_panel_can, bsr_panel.dds_panel)

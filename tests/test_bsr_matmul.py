@@ -189,6 +189,32 @@ def test_dss_worklist_traced_dispatch(rng):
 
 
 @pytest.mark.parametrize("ta,tb", MODES)
+@pytest.mark.parametrize("variant", ["pallas_cres", "pallas_gres"])
+def test_resident_variants(rng, ta, tb, variant):
+    """C-resident and group-resident schedules (round 3): dep-sorted
+    streams with VMEM-resident fp32 accumulators, flush steps appended to
+    the grid."""
+    m, k, n = 640, 384, 512
+    a_shape, b_shape = _dims(m, k, n, ta, tb)
+    a = _mk_sparse(rng, *a_shape, 0.3, True)
+    b = jnp.asarray(rng.standard_normal(b_shape).astype(np.float32))
+    out = ops.matmul_dsd(a, b, transpose_a=ta, transpose_b=tb, variant=variant)
+    expected = testing.dense_oracle_matmul(
+        np.asarray(a.to_dense()), np.asarray(b), transpose_a=ta, transpose_b=tb
+    )
+    _check(out, expected)
+
+    ad = jnp.asarray(rng.standard_normal(a_shape).astype(np.float32))
+    bsp = _mk_sparse(rng, *b_shape, 0.3, True)
+    out = ops.matmul_dds(ad, bsp, transpose_a=ta, transpose_b=tb, variant=variant)
+    expected = testing.dense_oracle_matmul(
+        np.asarray(ad), np.asarray(bsp.to_dense()), transpose_a=ta,
+        transpose_b=tb,
+    )
+    _check(out, expected)
+
+
+@pytest.mark.parametrize("ta,tb", MODES)
 def test_panel_variants(rng, ta, tb):
     """Round-3 panel-resident kernels (dense operand pinned in VMEM per
     output tile) match the oracle; SDD panel covers ta=False only (k-minor
