@@ -60,14 +60,23 @@ def run(d: int, densities, dtype_name="bfloat16", chain=8, runs=3,
             t = m["time_s"]
             sol = sol_time(flops, bytes_moved, peak_flops=peak_flops,
                            hbm_bps=bw)
-            rows_out.append({
+            row = {
                 "op": op, "mode": _mode_name(ta, tb), "d": d,
                 "density": density, "time_us": t * 1e6,
-                "gflops": flops / t / 1e9, "frac_sol": sol / t,
+                "gflops": flops / t / 1e9,
                 "bound": "compute" if flops / peak_flops > bytes_moved / bw
                          else "bandwidth",
                 "timing": m["timing"],
-            })
+            }
+            # Sub-3us per-op times sit at the chained-trace noise floor
+            # (the profiler's event resolution divided by the chain) —
+            # publish those fractions as unreliable rather than as wins.
+            if t * 1e6 < 3.0:
+                row["frac_sol_unreliable"] = sol / t
+                row["note"] = "sub-3us: below the device-trace noise floor"
+            else:
+                row["frac_sol"] = sol / t
+            rows_out.append(row)
             print(f"# {name} density={density}: {t*1e6:.0f} us, "
                   f"{flops/t/1e9:.0f} GFLOP/s, {sol/t:.2f} SoL",
                   file=sys.stderr, flush=True)
@@ -100,8 +109,11 @@ def run(d: int, densities, dtype_name="bfloat16", chain=8, runs=3,
                         b_, a_, transpose_a=ta, transpose_b=tb),
                     (b, a), f, by, perturb=0)
             if ops_filter is None or "sdd" in ops_filter:
+                t_rows = int(len(np.unique(np.asarray(topo.row_indices))))
+                t_cols = int(len(np.unique(np.asarray(topo.indices))))
                 f, by = sdd_model(nnz=topo.nnz, nnz_blocks=topo.nnz_blocks,
-                                  m=d, n=d, k=d, isz=isz)
+                                  m=d, n=d, k=d, isz=isz,
+                                  touched_rows=t_rows, touched_cols=t_cols)
                 add("sdd", ta, tb, density,
                     lambda x_, y_, ta=ta, tb=tb: ops.matmul_sdd(
                         x_, y_, topo, transpose_a=ta, transpose_b=tb).data,
@@ -111,12 +123,21 @@ def run(d: int, densities, dtype_name="bfloat16", chain=8, runs=3,
             # flat path anyway (the MatmulEx discipline); at high density
             # the dispatch takes the densify detour, which the grid then
             # measures as the shipping configuration.
+            # At high density the registry takes the densify detour; model
+            # THAT path (a dense matmul + block extract) — modeling the
+            # flat work list for a detour run overestimates SoL time and
+            # published impossible fractions > 1.
+            def _densify_model():
+                return 2 * d * d * d, 3 * d * d * isz + 2 * topo.nnz * isz
+
             if ops_filter is None or "ssd" in ops_filter:
                 use_flat = density < 0.25
                 sched = ops.plan_ssd(a, topo, transpose_a=ta) if use_flat else None
-                total = sched.total if use_flat else a.nnz_blocks * (d // 128)
-                f, by = sparse_out_flat_model(
-                    total_items=total, nnz_out=topo.nnz, isz=isz)
+                if use_flat:
+                    f, by = sparse_out_flat_model(
+                        total_items=sched.total, nnz_out=topo.nnz, isz=isz)
+                else:
+                    f, by = _densify_model()
                 kw = {"schedule": sched} if use_flat else {}
                 add("ssd", ta, tb, density,
                     lambda a_, b_, ta=ta, tb=tb, kw=kw: ops.matmul_ssd(
@@ -126,9 +147,11 @@ def run(d: int, densities, dtype_name="bfloat16", chain=8, runs=3,
             if ops_filter is None or "sds" in ops_filter:
                 use_flat = density < 0.25
                 sched = ops.plan_sds(a, topo, transpose_b=tb) if use_flat else None
-                total = sched.total if use_flat else a.nnz_blocks * (d // 128)
-                f, by = sparse_out_flat_model(
-                    total_items=total, nnz_out=topo.nnz, isz=isz)
+                if use_flat:
+                    f, by = sparse_out_flat_model(
+                        total_items=sched.total, nnz_out=topo.nnz, isz=isz)
+                else:
+                    f, by = _densify_model()
                 kw = {"schedule": sched} if use_flat else {}
                 add("sds", ta, tb, density,
                     lambda b_, a_, ta=ta, tb=tb, kw=kw: ops.matmul_sds(
@@ -139,9 +162,11 @@ def run(d: int, densities, dtype_name="bfloat16", chain=8, runs=3,
                 use_flat = density * density < 0.1
                 sched = (ops.plan_dss(a, topo, transpose_a=ta, transpose_b=tb)
                          if use_flat else None)
-                total = (sched.total if use_flat
-                         else a.nnz_blocks * topo.nnz_blocks // max(d // 128, 1))
-                f, by = dss_flat_model(total_items=total, m=d, n=d, isz=isz)
+                if use_flat:
+                    f, by = dss_flat_model(total_items=sched.total, m=d, n=d,
+                                           isz=isz)
+                else:
+                    f, by = _densify_model()
                 kw = {"schedule": sched} if use_flat else {}
                 add("dss", ta, tb, density,
                     lambda a_, b_, ta=ta, tb=tb, kw=kw: ops.matmul_dss(

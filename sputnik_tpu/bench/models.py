@@ -51,14 +51,22 @@ def dsd_model(*, nnz: int, nnz_blocks: int, m: int, n: int, k: int,
 
 
 def sdd_model(*, nnz: int, nnz_blocks: int, m: int, n: int, k: int,
-              isz: int, bs: int = 128):
+              isz: int, bs: int = 128,
+              touched_rows: int | None = None,
+              touched_cols: int | None = None):
     """sparse_out = dense @ dense at the output topology: per output block,
     one (bs, K) strip of each input streams in; the reuse floor is each
-    input matrix read once (a perfect cache re-serves repeated block-rows /
-    block-columns of the inputs)."""
+    TOUCHED input strip read once (an input block-row/column adjacent to
+    no output block is never read at all — at low density that is less
+    than a full pass, which round-3 measurement proved when sdd beat the
+    whole-matrix floor at d=1024/10%). ``touched_rows``/``touched_cols``
+    are the distinct block-row / block-column counts of the topology;
+    None = assume all touched (dense-topology bound)."""
     flops = 2 * nnz * k
-    stream_a = min(nnz_blocks * bs * k, m * k) * isz
-    stream_b = min(nnz_blocks * bs * k, n * k) * isz
+    tr = m // bs if touched_rows is None else touched_rows
+    tc = n // bs if touched_cols is None else touched_cols
+    stream_a = min(nnz_blocks * bs * k, tr * bs * k) * isz
+    stream_b = min(nnz_blocks * bs * k, tc * bs * k) * isz
     return flops, stream_a + stream_b + nnz * isz
 
 

@@ -112,7 +112,9 @@ def audit(d: int = 2048, density: float = 0.25, dtype_name: str = "bfloat16",
     )
     # SDD: per output block, full K strips of A and B; one packed block out.
     sdd_f, sdd_by = sdd_model(
-        nnz=topo.nnz, nnz_blocks=topo.nnz_blocks, m=d, n=d, k=d, isz=isz
+        nnz=topo.nnz, nnz_blocks=topo.nnz_blocks, m=d, n=d, k=d, isz=isz,
+        touched_rows=int(len(np.unique(np.asarray(topo.row_indices)))),
+        touched_cols=int(len(np.unique(np.asarray(topo.indices)))),
     )
     add(
         "bsr_sdd",
