@@ -212,9 +212,11 @@ def main():
             print(f"| {r['op']} | {r['mode']} | {r['density']} | "
                   f"ERROR {r['error'][:60]} | | |")
         else:
+            frac = (f"{r['frac_sol']:.2f}" if "frac_sol" in r
+                    else f"({r['frac_sol_unreliable']:.2f})")
             print(f"| {r['op']} | {r['mode']} | {r['density']} | "
                   f"{r['time_us']:.0f} | {r['gflops']:.0f} | "
-                  f"{r['frac_sol']:.2f} |")
+                  f"{frac} |")
     with open(args.out, "w") as f:
         json.dump(rows, f, indent=2)
     print(f"\n(written to {args.out})", file=sys.stderr)

@@ -19,6 +19,7 @@ from sputnik_tpu.kernels import (
     bsr_dsd,
     bsr_cres,
     bsr_dsd_pipelined,
+    bsr_qstream,
     bsr_flat,
     bsr_panel,
     bsr_sdd,
@@ -127,6 +128,9 @@ def _dsd_cres_can(a, b, transpose_a=False, transpose_b=False, out_dtype=None, **
 
 
 registry.register("dsd", "pallas_stream", _dsd_can, bsr_dsd.dsd)
+# Q-batched stream: q blocks per grid step divides the fixed per-step
+# Pallas cost (the stream kernel's measured overhead at d=4096) by q.
+registry.register("dsd", "pallas_qstream", _dsd_can, bsr_qstream.dsd_q)
 # C-resident schedule: measured v5e @25% bf16 40.0 vs stream's 38.3 us
 # (d=2048) and 307.8 vs 243.3 (d=4096) — the per-step dynamic-indexed
 # fp32 accumulate doesn't overlap the MXU well enough to beat streaming
@@ -292,6 +296,7 @@ def _dds_gres_can(a, b, transpose_a=False, transpose_b=False, out_dtype=None,
 
 registry.register("dds", "pallas_gres", _dds_gres_can, bsr_cres.dds_gres)
 registry.register("dds", "pallas_stream", _dds_can, bsr_dsd.dds)
+registry.register("dds", "pallas_qstream", _dds_can, bsr_qstream.dds_q)
 registry.register("dds", "pallas_stream_at", _dds_can, _dds_stream_at)
 registry.register("dds", "pallas_panel", _dds_panel_can, bsr_panel.dds_panel)
 registry.register("dds", "pallas_pipelined", _dds_can, bsr_dsd_pipelined.dds)

@@ -189,6 +189,52 @@ def test_dss_worklist_traced_dispatch(rng):
 
 
 @pytest.mark.parametrize("ta,tb", MODES)
+@pytest.mark.parametrize("q", [2, 4, 8])
+def test_qstream_variants(rng, ta, tb, q):
+    """Q-batched stream (round 3): q blocks per grid step; ragged rows
+    exercise the fetch-free padding slots, unordered indices the sort."""
+    m, k, n = 640, 384, 512
+    a_shape, b_shape = _dims(m, k, n, ta, tb)
+    a = _mk_sparse(rng, *a_shape, 0.3, True)
+    b = jnp.asarray(rng.standard_normal(b_shape).astype(np.float32))
+    out = ops.matmul_dsd(
+        a, b, transpose_a=ta, transpose_b=tb, variant="pallas_qstream", q=q
+    )
+    expected = testing.dense_oracle_matmul(
+        np.asarray(a.to_dense()), np.asarray(b), transpose_a=ta, transpose_b=tb
+    )
+    _check(out, expected)
+
+    ad = jnp.asarray(rng.standard_normal(a_shape).astype(np.float32))
+    bsp = _mk_sparse(rng, *b_shape, 0.3, True)
+    out = ops.matmul_dds(
+        ad, bsp, transpose_a=ta, transpose_b=tb, variant="pallas_qstream", q=q
+    )
+    expected = testing.dense_oracle_matmul(
+        np.asarray(ad), np.asarray(bsp.to_dense()), transpose_a=ta,
+        transpose_b=tb,
+    )
+    _check(out, expected)
+
+
+def test_qstream_traced_metadata(rng):
+    """The slot plan builds on device under jit (static worst-case padding)."""
+    a = _mk_sparse(rng, 512, 384, 0.3, True)
+    b = jnp.asarray(rng.standard_normal((384, 256)).astype(np.float32))
+    out = jax.jit(
+        lambda x, y: ops.matmul_dsd(x, y, variant="pallas_qstream", q=4)
+    )(a, b)
+    expected = testing.dense_oracle_matmul(np.asarray(a.to_dense()), np.asarray(b))
+    _check(out, expected)
+    c = jnp.asarray(rng.standard_normal((256, 512)).astype(np.float32))
+    out = jax.jit(
+        lambda x, y: ops.matmul_dds(x, y, variant="pallas_qstream", q=4)
+    )(c, a)
+    expected = testing.dense_oracle_matmul(np.asarray(c), np.asarray(a.to_dense()))
+    _check(out, expected)
+
+
+@pytest.mark.parametrize("ta,tb", MODES)
 @pytest.mark.parametrize("variant", ["pallas_cres", "pallas_gres"])
 def test_resident_variants(rng, ta, tb, variant):
     """C-resident and group-resident schedules (round 3): dep-sorted
