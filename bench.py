@@ -117,7 +117,8 @@ def _bench_dsd(d: int, density: float, dtype_name: str = "bfloat16"):
     # traffic floored at one full read per panel pass, so the fraction is
     # a true <= ~1 bound (round 1's no-reuse model reported 1.19-1.55).
     flops, bytes_moved = dsd_model(
-        nnz=a.nnz, nnz_blocks=a.nnz_blocks, m=d, n=d, k=d, isz=itemsize
+        nnz=a.nnz, nnz_blocks=a.nnz_blocks, m=d, n=d, k=d, isz=itemsize,
+        touched_deps=int(len(np.unique(np.asarray(a.indices)))),
     )
     sol_t = max(flops / PEAK_BF16_FLOPS, bytes_moved / PEAK_HBM_BPS)
     return {

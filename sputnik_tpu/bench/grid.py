@@ -39,7 +39,7 @@ def _mode_name(ta, tb):
 
 
 def run(d: int, densities, dtype_name="bfloat16", chain=8, runs=3,
-        ops_filter=None, peaks=PEAKS):
+        ops_filter=None, peaks=PEAKS, partial_path=None):
     import jax.numpy as jnp
     from sputnik_tpu import ops
     from sputnik_tpu.utils import testing
@@ -85,6 +85,11 @@ def run(d: int, densities, dtype_name="bfloat16", chain=8, runs=3,
                              "density": density, "error": str(e)[:140]})
             print(f"# {name} density={density}: ERROR {str(e)[:90]}",
                   file=sys.stderr, flush=True)
+        if partial_path:
+            # A hung remote compile can eat a whole chunk's measurements
+            # (it did, round 3): persist every row as it lands.
+            with open(partial_path, "w") as f:
+                json.dump(rows_out, f, indent=2)
 
     for density in densities:
         nnz = int(d * d * density)
@@ -93,17 +98,28 @@ def run(d: int, densities, dtype_name="bfloat16", chain=8, runs=3,
             rng.standard_normal((d, d)).astype(np.float32)
         ).astype(dtype)
         topo = testing.random_bsr(rng, d, d, nnz, 128, dtype=dtype)
+        # Touched contraction strips for the dsd/dds reuse floor: the op's
+        # dep axis is A's columns when not transposed, rows when transposed.
+        a_tcols = int(len(np.unique(np.asarray(a.indices))))
+        a_counts = np.asarray(a.offsets)
+        a_trows = int((a_counts[1:] - a_counts[:-1] > 0).sum())
         for ta, tb in MODES:
             if ops_filter is None or "dsd" in ops_filter:
                 f, by = dsd_model(nnz=a.nnz, nnz_blocks=a.nnz_blocks,
-                                  m=d, n=d, k=d, isz=isz)
+                                  m=d, n=d, k=d, isz=isz,
+                                  touched_deps=a_trows if ta else a_tcols)
                 add("dsd", ta, tb, density,
                     lambda a_, b_, ta=ta, tb=tb: ops.matmul_dsd(
                         a_, b_, transpose_a=ta, transpose_b=tb),
                     (a, b), f, by, perturb=1)
             if ops_filter is None or "dds" in ops_filter:
+                # dds streams panels of the dense operand at the sparse
+                # operand's contraction blocks; the grid reuses `a` as the
+                # sparse operand with transpose flag tb, so the dep axis is
+                # a's columns when tb else a's rows.
                 f, by = dsd_model(nnz=a.nnz, nnz_blocks=a.nnz_blocks,
-                                  m=d, n=d, k=d, isz=isz)
+                                  m=d, n=d, k=d, isz=isz,
+                                  touched_deps=a_tcols if tb else a_trows)
                 add("dds", ta, tb, density,
                     lambda b_, a_, ta=ta, tb=tb: ops.matmul_dds(
                         b_, a_, transpose_a=ta, transpose_b=tb),
@@ -195,7 +211,8 @@ def main():
     rows = []
     for d in args.d:
         rows.extend(run(d, args.densities, args.dtype, chain=args.chain,
-                        runs=args.runs, ops_filter=args.ops))
+                        runs=args.runs, ops_filter=args.ops,
+                        partial_path=f"{args.out}.partial_d{d}"))
     if args.append:
         import os
         if os.path.exists(args.out):

@@ -30,18 +30,25 @@ VPU_ELEM_OPS = 3.9e12
 
 
 def dsd_model(*, nnz: int, nnz_blocks: int, m: int, n: int, k: int,
-              isz: int, bs: int = 128, n_tile: int = 4096):
+              isz: int, bs: int = 128, n_tile: int = 4096,
+              touched_deps: int | None = None):
     """dense[M,N] = sparse[M,K] @ dense[K,N] (or any transpose thereof).
 
     Per nonzero block the kernel gathers one (bs, bn) panel of the dense
-    operand; the reuse floor is the whole dense operand once per panel
-    pass (k/bs distinct panel tiles — what a perfect cache pays).
+    operand; the reuse floor is each TOUCHED panel tile once per panel
+    pass (what a perfect cache pays — a dense-operand strip adjacent to
+    no nonzero block is never read, which matters below ~25% density;
+    round-3 grid measurement showed dsd beating the whole-operand floor
+    at d=2048/10%). ``touched_deps`` = distinct contraction-block ids
+    among the nonzero blocks; None = assume all k/bs touched. The output
+    floor stays the full M x N: rows with no blocks must still be zeroed.
     """
     flops = 2 * nnz * n
     bn = min(n_tile, n)
     n_passes = -(-n // bn)
+    td = k // bs if touched_deps is None else touched_deps
     per_pass_stream = nnz_blocks * bs * bn * isz
-    per_pass_floor = k * bn * isz  # every distinct (bs, bn) tile once
+    per_pass_floor = td * bs * bn * isz  # every TOUCHED (bs, bn) tile once
     bytes_moved = (
         min(per_pass_stream, max(per_pass_floor, bs * bn * isz)) * n_passes
         + nnz * isz * n_passes  # sparse blocks stream once per pass

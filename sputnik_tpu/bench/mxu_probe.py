@@ -1,0 +1,151 @@
+"""MXU depth-floor isolation probe.
+
+Round-3 finding: every DSD/DDS schedule (stream / cres / gres / qstream)
+converges to ~0.95 us per (128,128)@(128,4096) dot at d=4096 — 0.72 of the
+197 TFLOP/s spec peak — no matter how blocks are batched into grid steps or
+how much panel refetch traffic is eliminated. This probe isolates WHERE that
+cost lives by running a dense, metadata-free Pallas kernel with the exact
+stream-DSD structure (fp32 accumulator scratch revisited across contraction
+steps, one ``dot_general`` per step) while sweeping the per-dot contraction
+depth. No sparsity, no scalar prefetch, contiguous operands — any residual
+gap to peak is the MXU/accumulator cost itself, not the sparse machinery.
+
+Variants:
+  * ``acc``      — acc_ref += dot (the stream kernel's RMW accumulate)
+  * ``overwrite``— acc_ref  = dot (wrong math, isolates the RMW read cost)
+  * ``xla``      — jnp.dot of the full (M,K)@(K,N) as the XLA reference
+
+Run:  python -m sputnik_tpu.bench.mxu_probe   (on the real TPU)
+Writes docs/mxu_probe.json and a markdown table to stdout.
+
+Reference analogue: the CUTLASS ``StepsK`` tuning study the reference's
+ConfigHelper encodes (``block/cutlass/block_gemm.h:129-192``) — the TPU
+question is per-``dot_general`` depth, not threadblock shape.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sputnik_tpu.kernels.common import compiler_params, use_interpret
+
+PEAK_BF16 = 197e12
+
+
+def _probe_kernel(a_ref, b_ref, out_ref, acc_ref, *, k_steps, accumulate):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    d = jax.lax.dot_general(
+        a_ref[:], b_ref[:],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if accumulate:
+        acc_ref[:] += d
+    else:
+        acc_ref[:] = d
+
+    @pl.when(j == k_steps - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def dense_stream(a, b, *, depth: int, n_tile: int = 4096,
+                 accumulate: bool = True, interpret: bool | None = None):
+    """C = A @ B with the stream-DSD grid structure at contraction ``depth``."""
+    interpret = use_interpret() if interpret is None else interpret
+    m, k = a.shape
+    k2, n = b.shape
+    assert k == k2 and m % 128 == 0 and k % depth == 0
+    bn = min(n_tile, n)
+    k_steps = k // depth
+    grid = (m // 128, n // bn, k_steps)
+    kernel = functools.partial(
+        _probe_kernel, k_steps=k_steps, accumulate=accumulate
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((128, depth), lambda i, p, j: (i, j)),
+            pl.BlockSpec((depth, bn), lambda i, p, j: (j, p)),
+        ],
+        out_specs=pl.BlockSpec((128, bn), lambda i, p, j: (i, p)),
+        scratch_shapes=[pltpu.VMEM((128, bn), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((m, n), a.dtype),
+        compiler_params=compiler_params(("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(a, b)
+
+
+def run(m=1024, k=4096, n=4096, depths=(128, 256, 512, 1024, 2048, 4096),
+        chain=4, runs=3):
+    from sputnik_tpu.utils.profiling import device_time
+
+    rng = np.random.default_rng(7)
+    a = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal((k, n)), jnp.bfloat16)
+    flops = 2.0 * m * k * n
+    rows = []
+
+    def add(name, fn, **kw):
+        meas = device_time(fn, a, b, chain=chain, runs=runs, **kw)
+        t = meas["time_s"]
+        rows.append({
+            "variant": name, "m": m, "k": k, "n": n,
+            "time_us": t * 1e6,
+            "tflops": flops / t / 1e12,
+            "frac_peak": flops / t / PEAK_BF16,
+            "timing": meas["timing"],
+        })
+        print(f"# {name}: {t*1e6:.1f} us  {flops/t/1e12:.1f} TF  "
+              f"{flops/t/PEAK_BF16:.2f} of peak", file=sys.stderr, flush=True)
+
+    for depth in depths:
+        add(f"acc_d{depth}",
+            lambda a_, b_, depth=depth: dense_stream(a_, b_, depth=depth),
+            perturb_index=0)
+    # RMW isolation at the shallow end only (the interesting regime).
+    for depth in (128, 256):
+        add(f"overwrite_d{depth}",
+            lambda a_, b_, depth=depth: dense_stream(
+                a_, b_, depth=depth, accumulate=False),
+            perturb_index=0)
+    add("xla_dot", lambda a_, b_: jnp.dot(a_, b_),
+        perturb_index=0, perturb_mode="roll")
+    return rows
+
+
+def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--m", type=int, default=1024)
+    ap.add_argument("--k", type=int, default=4096)
+    ap.add_argument("--n", type=int, default=4096)
+    ap.add_argument("--out", default="docs/mxu_probe.json")
+    args = ap.parse_args()
+    rows = run(m=args.m, k=args.k, n=args.n)
+    print("| variant | time (us) | TFLOP/s | frac of 197 peak |")
+    print("|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['variant']} | {r['time_us']:.1f} | {r['tflops']:.1f} | "
+              f"{r['frac_peak']:.2f} |")
+    with open(args.out, "w") as f:
+        json.dump(rows, f, indent=2)
+    print(f"(written to {args.out})", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -91,9 +91,14 @@ def audit(d: int = 2048, density: float = 0.25, dtype_name: str = "bfloat16",
         )
 
     # DSD/DDS: reuse-aware model (bench.models.dsd_model) — the streamed
-    # dense-panel traffic is floored at "whole dense operand once per panel
-    # pass" so dense-metadata regimes cannot report frac > 1.
-    dsd_f, dsd_by = dsd_model(nnz=nnz, nnz_blocks=nnz_b, m=d, n=d, k=d, isz=isz)
+    # dense-panel traffic is floored at "every TOUCHED dense strip once per
+    # panel pass" so dense-metadata regimes cannot report frac > 1. The
+    # audit config runs NN, so the dep axis is the sparse operand's
+    # column axis for dsd and its row axis for dds; at 25% they are
+    # statistically equal and the NN orientation (columns) is used.
+    a_tcols = int(len(np.unique(np.asarray(a.indices))))
+    dsd_f, dsd_by = dsd_model(nnz=nnz, nnz_blocks=nnz_b, m=d, n=d, k=d,
+                              isz=isz, touched_deps=a_tcols)
     add(
         "bsr_dsd",
         lambda a_, b_: ops.matmul_dsd(a_, b_),
