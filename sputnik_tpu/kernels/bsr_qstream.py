@@ -132,6 +132,7 @@ def _qstream_kernel(
     q: int,
     dims,
     block_first: bool,
+    accum: str = "ref",
 ):
     del dep_q, data_q
     out_ref, acc_ref = refs[-2], refs[-1]
@@ -143,23 +144,65 @@ def _qstream_kernel(
     is_first = jnp.logical_or(base == 0, prev != cur)
     is_last = jnp.logical_or(j == n_steps - 1, nxt != cur)
 
-    @pl.when(is_first)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
     n_valid = nv[j]
-    for qi in range(q):
-        block_ref = refs[qi]
-        panel_ref = refs[q + qi]
-
-        @pl.when(qi < n_valid)
-        def _(block_ref=block_ref, panel_ref=panel_ref):
-            block = block_ref[0]
-            panel = panel_ref[:]
-            lhs, rhs = (block, panel) if block_first else (panel, block)
-            acc_ref[:] += jax.lax.dot_general(
+    if accum in ("value", "kcat"):
+        # One accumulator RMW per STEP. Padding slots (qi >= n_valid) repeat
+        # real data, so they are masked by zeroing the (cheap, bs x bs)
+        # block operand.
+        blocks, panels = [], []
+        for qi in range(q):
+            block = refs[qi][0]
+            if q > 1:
+                live = (qi < n_valid).astype(block.dtype)
+                block = block * live
+            blocks.append(block)
+            panels.append(refs[q + qi][:])
+        if accum == "kcat":
+            # ONE dot of contraction depth q*bs: concatenating along the
+            # contracted axes makes [B0 B1] @ [P0; P1] == B0@P0 + B1@P1.
+            # Targets the measured per-dot MXU cost at k=128 (the 0.72-of-
+            # peak floor every schedule converges to, docs/PERFORMANCE.md).
+            lhs_parts, rhs_parts = (
+                (blocks, panels) if block_first else (panels, blocks)
+            )
+            lhs = jnp.concatenate(lhs_parts, axis=dims[0][0][0])
+            rhs = jnp.concatenate(rhs_parts, axis=dims[0][1][0])
+            part = jax.lax.dot_general(
                 lhs, rhs, dims, preferred_element_type=jnp.float32
             )
+        else:
+            part = None
+            for block, panel in zip(blocks, panels):
+                lhs, rhs = (block, panel) if block_first else (panel, block)
+                d = jax.lax.dot_general(
+                    lhs, rhs, dims, preferred_element_type=jnp.float32
+                )
+                part = d if part is None else part + d
+
+        @pl.when(is_first)
+        def _():
+            acc_ref[:] = part
+
+        @pl.when(jnp.logical_not(is_first))
+        def _():
+            acc_ref[:] += part
+    else:
+        @pl.when(is_first)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        for qi in range(q):
+            block_ref = refs[qi]
+            panel_ref = refs[q + qi]
+
+            @pl.when(qi < n_valid)
+            def _(block_ref=block_ref, panel_ref=panel_ref):
+                block = block_ref[0]
+                panel = panel_ref[:]
+                lhs, rhs = (block, panel) if block_first else (panel, block)
+                acc_ref[:] += jax.lax.dot_general(
+                    lhs, rhs, dims, preferred_element_type=jnp.float32
+                )
 
     @pl.when(is_last)
     def _():
@@ -186,6 +229,7 @@ def _qstream_call(
     block_first: bool,
     out_dtype,
     interpret: bool,
+    accum: str = "ref",
 ):
     bs = sparse_data.shape[-1]
     concrete = not any(
@@ -221,7 +265,8 @@ def _qstream_call(
         out_index = lambda p, j, out_q, dep_q, data_q, nv: (p, out_q[j * q])
 
     kernel = functools.partial(
-        _qstream_kernel, n_steps=n_steps, q=q, dims=dims, block_first=block_first
+        _qstream_kernel, n_steps=n_steps, q=q, dims=dims,
+        block_first=block_first, accum=accum,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -258,6 +303,7 @@ def dsd_q(
     out_dtype=None,
     n_tile: int = 4096,
     q: int = 4,
+    accum: str = "ref",
     interpret: bool | None = None,
 ) -> jax.Array:
     """C[M, N] = op(A_sparse) @ op(B_dense), q blocks per grid step.
@@ -309,6 +355,7 @@ def dsd_q(
         block_first=True,
         out_dtype=out_dtype,
         interpret=interpret,
+        accum=accum,
     )
     return _mask_empty_groups(out, group_offsets, bs, axis=0, min_hint=min_hint)
 
@@ -322,6 +369,7 @@ def dds_q(
     out_dtype=None,
     m_tile: int = 4096,
     q: int = 4,
+    accum: str = "ref",
     interpret: bool | None = None,
 ) -> jax.Array:
     """C[M, N] = op(A_dense) @ op(B_sparse), q blocks per grid step.
@@ -372,5 +420,6 @@ def dds_q(
         block_first=False,
         out_dtype=out_dtype,
         interpret=interpret,
+        accum=accum,
     )
     return _mask_empty_groups(out, group_offsets, bs, axis=1, min_hint=min_hint)

@@ -11,6 +11,8 @@ and callers can pre-attach them with
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -131,6 +133,21 @@ registry.register("dsd", "pallas_stream", _dsd_can, bsr_dsd.dsd)
 # Q-batched stream: q blocks per grid step divides the fixed per-step
 # Pallas cost (the stream kernel's measured overhead at d=4096) by q.
 registry.register("dsd", "pallas_qstream", _dsd_can, bsr_qstream.dsd_q)
+# Value-accumulate q-stream: sums the q dots in registers and touches the
+# fp32 accumulator once per step (one RMW instead of q) — the candidate
+# fix if the accumulator read-modify-write is the stream schedule's
+# residual cost (bench/mxu_probe.py isolates it).
+registry.register(
+    "dsd", "pallas_qstream_vacc", _dsd_can,
+    functools.partial(bsr_qstream.dsd_q, accum="value"),
+)
+# Depth-concat q-stream: ONE dot of contraction depth q*128 per step
+# ([B0 B1] @ [P0; P1] = B0@P0 + B1@P1) — attacks the measured per-dot
+# MXU cost at k=128 that every round-3 schedule converged to.
+registry.register(
+    "dsd", "pallas_qstream_kcat", _dsd_can,
+    functools.partial(bsr_qstream.dsd_q, accum="kcat"),
+)
 # C-resident schedule: measured v5e @25% bf16 40.0 vs stream's 38.3 us
 # (d=2048) and 307.8 vs 243.3 (d=4096) — the per-step dynamic-indexed
 # fp32 accumulate doesn't overlap the MXU well enough to beat streaming
@@ -297,6 +314,14 @@ def _dds_gres_can(a, b, transpose_a=False, transpose_b=False, out_dtype=None,
 registry.register("dds", "pallas_gres", _dds_gres_can, bsr_cres.dds_gres)
 registry.register("dds", "pallas_stream", _dds_can, bsr_dsd.dds)
 registry.register("dds", "pallas_qstream", _dds_can, bsr_qstream.dds_q)
+registry.register(
+    "dds", "pallas_qstream_vacc", _dds_can,
+    functools.partial(bsr_qstream.dds_q, accum="value"),
+)
+registry.register(
+    "dds", "pallas_qstream_kcat", _dds_can,
+    functools.partial(bsr_qstream.dds_q, accum="kcat"),
+)
 registry.register("dds", "pallas_stream_at", _dds_can, _dds_stream_at)
 registry.register("dds", "pallas_panel", _dds_panel_can, bsr_panel.dds_panel)
 registry.register("dds", "pallas_pipelined", _dds_can, bsr_dsd_pipelined.dds)

@@ -217,6 +217,39 @@ def test_qstream_variants(rng, ta, tb, q):
     _check(out, expected)
 
 
+@pytest.mark.parametrize("ta,tb", MODES)
+@pytest.mark.parametrize(
+    "variant", ["pallas_qstream_vacc", "pallas_qstream_kcat"]
+)
+def test_qstream_value_accumulate(rng, ta, tb, variant):
+    """accum="value" sums the q dots in registers (one acc RMW per step);
+    accum="kcat" concatenates along the contracted axes into ONE depth-q*bs
+    dot. Padding slots are masked by zeroing the small block operand, so
+    ragged rows must still be exact."""
+    m, k, n = 640, 384, 512
+    a_shape, b_shape = _dims(m, k, n, ta, tb)
+    a = _mk_sparse(rng, *a_shape, 0.3, True)
+    b = jnp.asarray(rng.standard_normal(b_shape).astype(np.float32))
+    out = ops.matmul_dsd(
+        a, b, transpose_a=ta, transpose_b=tb, variant=variant, q=4,
+    )
+    expected = testing.dense_oracle_matmul(
+        np.asarray(a.to_dense()), np.asarray(b), transpose_a=ta, transpose_b=tb
+    )
+    _check(out, expected)
+
+    ad = jnp.asarray(rng.standard_normal(a_shape).astype(np.float32))
+    bsp = _mk_sparse(rng, *b_shape, 0.3, True)
+    out = ops.matmul_dds(
+        ad, bsp, transpose_a=ta, transpose_b=tb, variant=variant, q=4,
+    )
+    expected = testing.dense_oracle_matmul(
+        np.asarray(ad), np.asarray(bsp.to_dense()), transpose_a=ta,
+        transpose_b=tb,
+    )
+    _check(out, expected)
+
+
 def test_qstream_traced_metadata(rng):
     """The slot plan builds on device under jit (static worst-case padding)."""
     a = _mk_sparse(rng, 512, 384, 0.3, True)
