@@ -55,6 +55,14 @@ def audit(d: int = 2048, density: float = 0.25, dtype_name: str = "bfloat16",
     nnz_b = a.nnz_blocks
     peak_flops = peaks["bf16_flops"] if dtype == jnp.bfloat16 else peaks["f32_flops"]
     bw = peaks["hbm_bps"]
+    from sputnik_tpu.bench.calibrate import load_measured_peaks
+
+    measured = load_measured_peaks()
+    if measured and not (
+        0 < measured.get("mxu_efficiency", 0) <= 1.05
+        and 0 < measured.get("hbm_efficiency", 0) <= 1.05
+    ):
+        measured = None  # a stale/garbled calibration must not skew rows
 
     rows = []
 
@@ -76,19 +84,29 @@ def audit(d: int = 2048, density: float = 0.25, dtype_name: str = "bfloat16",
             bound = "bandwidth"
         if vpu and sol == vpu / VPU_ELEM_OPS:
             bound = "vpu"
-        rows.append(
-            {
-                "op": name,
-                "time_us": t * 1e6,
-                "gflops": flops / t / 1e9,
-                "flops": flops,
-                "bytes": bytes_moved,
-                "vpu_elems": vpu,
-                "bound": bound,
-                "frac_sol": sol / t,
-                "timing": m["timing"],
-            }
-        )
+        row = {
+            "op": name,
+            "time_us": t * 1e6,
+            "gflops": flops / t / 1e9,
+            "flops": flops,
+            "bytes": bytes_moved,
+            "vpu_elems": vpu,
+            "bound": bound,
+            "frac_sol": sol / t,
+            "timing": m["timing"],
+        }
+        # Empirical-roofline companion number: the same SoL model with the
+        # MXU/HBM ceilings scaled to what this chip MEASURABLY sustains
+        # (docs/machine_peak.json, written by bench.calibrate). frac_sol
+        # stays the number of record (spec ceilings, comparable across
+        # rounds); frac_achievable is the engineering-headroom view.
+        if measured:
+            sol_a = sol_time(
+                flops, bytes_moved,
+                peak_flops=peak_flops * measured["mxu_efficiency"],
+                hbm_bps=bw * measured["hbm_efficiency"], vpu_elems=vpu)
+            row["frac_achievable"] = sol_a / t
+        rows.append(row)
 
     # DSD/DDS: reuse-aware model (bench.models.dsd_model) — the streamed
     # dense-panel traffic is floored at "every TOUCHED dense strip once per
@@ -341,15 +359,17 @@ def main():
 
     rows = audit(args.d, args.density, args.dtype, peaks=peaks)
     print(f"# Roofline audit — d={args.d}, density={args.density}, {args.dtype}\n")
-    print("| op | time (us) | GFLOP/s | bound | frac of SoL | timing |")
-    print("|---|---|---|---|---|---|")
+    print("| op | time (us) | GFLOP/s | bound | frac of SoL | frac achv | timing |")
+    print("|---|---|---|---|---|---|---|")
     for r in rows:
         if "error" in r:
-            print(f"| {r['op']} | ERROR: {r['error']} | | | | |")
+            print(f"| {r['op']} | ERROR: {r['error']} | | | | | |")
         else:
+            achv = (f"{r['frac_achievable']:.2f}"
+                    if "frac_achievable" in r else "—")
             print(
                 f"| {r['op']} | {r['time_us']:.0f} | {r['gflops']:.0f} | "
-                f"{r['bound']} | {r['frac_sol']:.2f} | {r['timing']} |"
+                f"{r['bound']} | {r['frac_sol']:.2f} | {achv} | {r['timing']} |"
             )
     with open(args.out, "w") as f:
         json.dump(rows, f, indent=2)
