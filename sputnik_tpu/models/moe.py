@@ -347,7 +347,15 @@ def dropless_moe_forward(
     max_block_rows = (-(-t // bs) // row_group + e) * row_group  # static
     t_pad = max_block_rows * bs
 
-    logits = x.astype(jnp.float32) @ params["router"]
+    # Route with ONE bf16 MXU pass + f32 accumulation: the f32 .astype
+    # detour materialized a full (tokens, d_model) f32 copy of x AND ran
+    # the slow f32 MXU path (~30-40 us of the round-3 glue budget). The
+    # logits accumulate in f32; only the operands are storage-rounded,
+    # the standard production-MoE routing precision.
+    logits = jax.lax.dot_general(
+        x.astype(cfg.dtype), params["router"].astype(cfg.dtype),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
     probs = jax.nn.softmax(logits, axis=-1)
     expert = jnp.argmax(probs, axis=-1)
     prob = jnp.max(probs, axis=-1)
@@ -363,17 +371,17 @@ def dropless_moe_forward(
     dest = group_start[expert] + pos_in_expert  # always < t_pad (no drops)
 
     # Permute by GATHER, not payload scatter: scatter only the int32 source
-    # map (16 KB vs 4 MB), append one zero row for the padding slots, then
-    # one fused gather pass builds x_perm (saves the zeros-init pass over
-    # t_pad x d_model; measured round-2: .set scatter beats .add, and this
-    # beats .set by skipping the dense zero fill).
-    src = jnp.full((t_pad,), t, jnp.int32).at[dest].set(
+    # map (16 KB vs 4 MB), then one fused gather pass builds x_perm
+    # (measured round-2: .set scatter beats .add, and this beats .set by
+    # skipping the dense zero fill). Padding slots CLAMP to a real token
+    # instead of reading an appended zero row (round-3: drops the
+    # concatenate's extra copy of x): their FFN outputs are never gathered
+    # back (dest only maps real tokens) and their cotangents are exactly
+    # zero (the FFN is row-wise), so no value or gradient leaks.
+    src = jnp.full((t_pad,), t - 1, jnp.int32).at[dest].set(
         jnp.arange(t, dtype=jnp.int32)
     )
-    x_aug = jnp.concatenate(
-        [x.astype(cfg.dtype), jnp.zeros((1, x.shape[1]), cfg.dtype)], axis=0
-    )
-    x_perm = x_aug[src]
+    x_perm = x.astype(cfg.dtype)[src]
     if impl == "ragged":
         # TPU-native variable-group grouped GEMM: XLA's ragged matmul keeps
         # the MXU at peak with traced group sizes — the dropless case that

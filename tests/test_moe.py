@@ -190,3 +190,33 @@ def test_dropless_moe_grads(rng, impl):
     for k, g in grads.items():
         assert np.isfinite(np.asarray(g)).all(), k
     assert float(jnp.abs(grads["w1"]).max()) > 0
+
+    # Dense per-token oracle autodiff, INCLUDING d/dx: the routing glue
+    # clamps padding slots onto a real token (moe.py round-3), so a value
+    # or cotangent leak through those slots would corrupt dx for that
+    # token — compare against an einsum formulation with no permutation.
+    def dense_loss(params, x):
+        logits = x @ params["router"]
+        probs = jax.nn.softmax(logits, axis=-1)
+        expert = jnp.argmax(probs, axis=-1)
+        prob = jnp.max(probs, axis=-1)
+        oh = jax.nn.one_hot(expert, cfg.n_experts, dtype=jnp.float32)
+        w1 = params["w1"].reshape(cfg.d_model, cfg.n_experts, cfg.d_ff)
+        w2 = params["w2"].reshape(cfg.n_experts, cfg.d_ff, cfg.d_model)
+        h = jax.nn.gelu(jnp.einsum("td,def,te->tf", x, w1, oh))
+        y = jnp.einsum("tf,efd,te->td", h, w2, oh) * prob[:, None]
+        me = jnp.mean(probs, axis=0)
+        ce = jnp.mean(oh, axis=0)
+        aux = cfg.n_experts * jnp.sum(me * ce)
+        return jnp.sum(y**2) * 1e-3 + 0.01 * aux
+
+    gp, gx = jax.grad(loss, argnums=(0, 1))(params, x)
+    gp_d, gx_d = jax.grad(dense_loss, argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(
+        np.asarray(gx), np.asarray(gx_d), atol=2e-3, rtol=2e-2
+    )
+    for k in gp:
+        np.testing.assert_allclose(
+            np.asarray(gp[k]), np.asarray(gp_d[k]), atol=2e-3, rtol=2e-2,
+            err_msg=k,
+        )
