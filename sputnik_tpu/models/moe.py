@@ -177,7 +177,12 @@ def moe_forward(
     the three-kernel chain (kept measurable for the bench).
     """
     t = x.shape[0]
-    logits = x.astype(jnp.float32) @ params["router"]
+    # One storage-dtype MXU pass with f32 accumulation (see
+    # dropless_moe_forward: the f32 .astype detour copied all of x).
+    logits = jax.lax.dot_general(
+        x.astype(cfg.dtype), params["router"].astype(cfg.dtype),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
     slot, keep, prob, aux = _route(logits, cfg)
 
     # Scatter tokens into expert capacity slots; dropped tokens go to a
@@ -224,8 +229,10 @@ def moe_forward(
             f"impl must be 'grouped', 'bsr' or 'bsr_unfused', got {impl!r}"
         )
 
-    y = jnp.take(y_perm, slot, axis=0).astype(jnp.float32)
-    y = y * (prob * keep.astype(jnp.float32))[:, None]
+    # Scale in the storage dtype (the f32 detour cost two extra full
+    # passes; the router prob is a per-row scalar — see dropless path).
+    y = jnp.take(y_perm, slot, axis=0)
+    y = y * (prob * keep.astype(jnp.float32)).astype(y.dtype)[:, None]
     return y.astype(x.dtype), aux
 
 
