@@ -39,7 +39,7 @@ def _mode_name(ta, tb):
 
 
 def run(d: int, densities, dtype_name="bfloat16", chain=8, runs=3,
-        ops_filter=None, peaks=PEAKS, partial_path=None):
+        ops_filter=None, peaks=PEAKS, partial_path=None, tune=False):
     import jax.numpy as jnp
     from sputnik_tpu import ops
     from sputnik_tpu.utils import testing
@@ -104,6 +104,23 @@ def run(d: int, densities, dtype_name="bfloat16", chain=8, runs=3,
         a_counts = np.asarray(a.offsets)
         a_trows = int((a_counts[1:] - a_counts[:-1] > 0).sum())
         for ta, tb in MODES:
+            if tune:
+                # Prime the persistent autotune cache so the measured rows
+                # are the TUNED dispatch (the grid then validates variant
+                # selection, not just the first-fit default).
+                from sputnik_tpu.ops.autotune import autotune as _autotune
+
+                for top, targs in (("dsd", (a, b)), ("dds", (b, a))):
+                    if ops_filter is None or top in ops_filter:
+                        try:
+                            win = _autotune(top, *targs, transpose_a=ta,
+                                            transpose_b=tb)
+                            print(f"# tuned {top} {_mode_name(ta, tb)} "
+                                  f"density={density}: {win}",
+                                  file=sys.stderr, flush=True)
+                        except Exception as e:
+                            print(f"# tune {top} failed: {str(e)[:90]}",
+                                  file=sys.stderr, flush=True)
             if ops_filter is None or "dsd" in ops_filter:
                 f, by = dsd_model(nnz=a.nnz, nnz_blocks=a.nnz_blocks,
                                   m=d, n=d, k=d, isz=isz,
@@ -203,6 +220,9 @@ def main():
                     help="subset of dsd dds sdd ssd sds dss")
     ap.add_argument("--chain", type=int, default=8)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--tune", action="store_true",
+                    help="prime the persistent autotune cache for dsd/dds "
+                    "at each grid point before measuring")
     ap.add_argument("--append", action="store_true",
                     help="merge into an existing --out artifact (replacing "
                     "rows with the same op/mode/d/density key)")
@@ -212,7 +232,8 @@ def main():
     for d in args.d:
         rows.extend(run(d, args.densities, args.dtype, chain=args.chain,
                         runs=args.runs, ops_filter=args.ops,
-                        partial_path=f"{args.out}.partial_d{d}"))
+                        partial_path=f"{args.out}.partial_d{d}",
+                        tune=args.tune))
     if args.append:
         import os
         if os.path.exists(args.out):

@@ -143,10 +143,16 @@ registry.register(
 )
 # Depth-concat q-stream: ONE dot of contraction depth q*128 per step
 # ([B0 B1] @ [P0; P1] = B0@P0 + B1@P1) — attacks the measured per-dot
-# MXU cost at k=128 that every round-3 schedule converged to.
+# MXU cost at k=128 that every round-3 schedule converged to. The _q8
+# registration exposes the deeper-contraction point to autotune (which
+# calls each launch with its registered defaults).
 registry.register(
     "dsd", "pallas_qstream_kcat", _dsd_can,
     functools.partial(bsr_qstream.dsd_q, accum="kcat"),
+)
+registry.register(
+    "dsd", "pallas_qstream_kcat_q8", _dsd_can,
+    functools.partial(bsr_qstream.dsd_q, accum="kcat", q=8),
 )
 # C-resident schedule: measured v5e @25% bf16 40.0 vs stream's 38.3 us
 # (d=2048) and 307.8 vs 243.3 (d=4096) — the per-step dynamic-indexed
@@ -321,6 +327,10 @@ registry.register(
 registry.register(
     "dds", "pallas_qstream_kcat", _dds_can,
     functools.partial(bsr_qstream.dds_q, accum="kcat"),
+)
+registry.register(
+    "dds", "pallas_qstream_kcat_q8", _dds_can,
+    functools.partial(bsr_qstream.dds_q, accum="kcat", q=8),
 )
 registry.register("dds", "pallas_stream_at", _dds_can, _dds_stream_at)
 registry.register("dds", "pallas_panel", _dds_panel_can, bsr_panel.dds_panel)
