@@ -353,6 +353,7 @@ def _flat_kernel(
     panel_is_block: bool,
     out_is_block: bool,
     slab: bool = False,
+    kcat: bool = False,
 ):
     del dep_ids, data_ids, other_ids, slab_ids
     if slab:
@@ -378,17 +379,37 @@ def _flat_kernel(
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    accum = jnp.zeros(acc_ref.shape, jnp.float32)
-    for g in range(group):
-        block = get_block(g)
-        panel = panels[g][0] if panel_is_block else panels[g][:]
-        lhs, rhs = (block, panel) if block_first else (panel, block)
-        prod = jax.lax.dot_general(
+    if kcat and group > 1:
+        # ONE dot of contraction depth group*bs: [B0 B1] @ [P0; P1] =
+        # B0@P0 + B1@P1 once the padding slots' stream blocks are zeroed
+        # (zeroing one operand kills the product) — same per-dot-MXU-cost
+        # attack as bsr_qstream's accum="kcat".
+        blocks, panel_list = [], []
+        for g in range(group):
+            block = get_block(g)
+            live = (flags[j * group + g] > 0).astype(block.dtype)
+            blocks.append(block * live)
+            panel_list.append(panels[g][0] if panel_is_block else panels[g][:])
+        lhs_parts, rhs_parts = (
+            (blocks, panel_list) if block_first else (panel_list, blocks)
+        )
+        lhs = jnp.concatenate(lhs_parts, axis=dims[0][0][0])
+        rhs = jnp.concatenate(rhs_parts, axis=dims[0][1][0])
+        accum = jax.lax.dot_general(
             lhs, rhs, dims, preferred_element_type=jnp.float32
         )
-        accum = accum + jnp.where(
-            flags[j * group + g] > 0, prod, jnp.zeros_like(prod)
-        )
+    else:
+        accum = jnp.zeros(acc_ref.shape, jnp.float32)
+        for g in range(group):
+            block = get_block(g)
+            panel = panels[g][0] if panel_is_block else panels[g][:]
+            lhs, rhs = (block, panel) if block_first else (panel, block)
+            prod = jax.lax.dot_general(
+                lhs, rhs, dims, preferred_element_type=jnp.float32
+            )
+            accum = accum + jnp.where(
+                flags[j * group + g] > 0, prod, jnp.zeros_like(prod)
+            )
     acc_ref[:] += accum
 
     @pl.when(is_last)
@@ -420,6 +441,7 @@ def _flat_call(
     out_is_block: bool,
     bs: int,
     interpret: bool,
+    kcat: bool = False,
 ):
     group = schedule.group
 
@@ -475,6 +497,7 @@ def _flat_call(
             panel_is_block=panel_is_block,
             out_is_block=out_is_block,
             slab=schedule.slab,
+            kcat=kcat,
         ),
         grid_spec=grid_spec,
         out_shape=out_shape,
@@ -503,6 +526,7 @@ def _flat_sparse_out_call(
     block_first: bool,
     out_dtype,
     interpret: bool,
+    kcat: bool = False,
 ):
     bs = topology.block_size
     nnz_c = topology.nnz_blocks
@@ -522,6 +546,7 @@ def _flat_sparse_out_call(
         out_is_block=True,
         bs=bs,
         interpret=interpret,
+        kcat=kcat,
     )
     return topology.with_data(_zero_unvisited_blocks(data, schedule))
 
@@ -536,6 +561,7 @@ def ssd_flat(
     out_dtype=None,
     schedule: FlatSchedule | None = None,
     interpret: bool | None = None,
+    kcat: bool = False,
     **_,
 ) -> BlockSparseMatrix:
     """C_sparse = op(A_sparse) @ op(B_dense) via an exact work list."""
@@ -561,6 +587,7 @@ def ssd_flat(
         block_first=True,
         out_dtype=out_dtype,
         interpret=interpret,
+        kcat=kcat,
     )
 
 
@@ -574,6 +601,7 @@ def sds_flat(
     out_dtype=None,
     schedule: FlatSchedule | None = None,
     interpret: bool | None = None,
+    kcat: bool = False,
     **_,
 ) -> BlockSparseMatrix:
     """C_sparse = op(A_dense) @ op(B_sparse) via an exact work list."""
@@ -601,6 +629,7 @@ def sds_flat(
         block_first=False,
         out_dtype=out_dtype,
         interpret=interpret,
+        kcat=kcat,
     )
 
 
@@ -613,6 +642,7 @@ def dss_flat(
     out_dtype=None,
     schedule: FlatSchedule | None = None,
     interpret: bool | None = None,
+    kcat: bool = False,
     **_,
 ) -> jax.Array:
     """C[M, N] = op(A_sparse) @ op(B_sparse) via the exact merged work list."""
@@ -650,6 +680,7 @@ def dss_flat(
         out_is_block=False,
         bs=bs,
         interpret=interpret,
+        kcat=kcat,
     )
     if not schedule.all_visited:
         flat = jnp.ones((m_blocks * n_blocks,), jnp.bool_)

@@ -481,6 +481,12 @@ def _ssd_flat_can(a, b, topology, transpose_a=False, transpose_b=False,
 # (128,128)-tile output-stationary kernels ~2-5x (docs/PERFORMANCE.md);
 # the masked-step kernel keeps the traced-metadata extreme-sparsity regime.
 registry.register("ssd", "pallas_flat_schedule", _ssd_flat_can, bsr_flat.ssd_flat)
+# Depth-concat flat schedule: the group's dots fused into ONE dot of
+# contraction depth group*bs (see bsr_qstream accum="kcat").
+registry.register(
+    "ssd", "pallas_flat_kcat", _ssd_flat_can,
+    functools.partial(bsr_flat.ssd_flat, kcat=True),
+)
 registry.register("ssd", "pallas_dsd_extract", _ssd_dense_detour_can, via_dense.ssd)
 registry.register("ssd", "pallas_output_stationary", _ssd_can, bsr_ssd.ssd)
 registry.register("ssd", "jnp_fallback", lambda *a, **k: True, reference.ssd)
@@ -545,6 +551,10 @@ def _sds_flat_can(a, b, topology, transpose_a=False, transpose_b=False,
 
 
 registry.register("sds", "pallas_flat_schedule", _sds_flat_can, bsr_flat.sds_flat)
+registry.register(
+    "sds", "pallas_flat_kcat", _sds_flat_can,
+    functools.partial(bsr_flat.sds_flat, kcat=True),
+)
 registry.register("sds", "pallas_dds_extract", _sds_dense_detour_can, via_dense.sds)
 registry.register("sds", "pallas_output_stationary", _sds_can, bsr_ssd.sds)
 registry.register("sds", "jnp_fallback", lambda *a, **k: True, reference.sds)
@@ -636,6 +646,10 @@ def _dss_worklist_can(a, b, transpose_a=False, transpose_b=False,
 
 
 registry.register("dss", "pallas_flat_schedule", _dss_flat_can, bsr_flat.dss_flat)
+registry.register(
+    "dss", "pallas_flat_kcat", _dss_flat_can,
+    functools.partial(bsr_flat.dss_flat, kcat=True),
+)
 registry.register("dss", "pallas_densify_stream", _dss_densify_can, via_dense.dss)
 registry.register("dss", "pallas_worklist", _dss_worklist_can, bsr_dss.dss_worklist)
 registry.register("dss", "pallas_masked_stream", _dss_can, bsr_dss.dss)

@@ -94,6 +94,53 @@ def test_dss_flat(rng, m, k, n, density, unordered, ta, tb):
     np.testing.assert_allclose(np.asarray(out, np.float32), expected, atol=ATOL)
 
 
+@pytest.mark.parametrize("ta,tb", MODES)
+def test_flat_kcat_variants(rng, ta, tb):
+    """Depth-concat flat schedule: the group's dots fused into ONE dot of
+    contraction depth group*bs, padding slots masked by zeroing the stream
+    block. Must match the per-dot flat path exactly in all three ops."""
+    m, k, n = 640, 384, 512
+    a_shape, b_shape = _dims(m, k, n, ta, tb)
+    a = _mk(rng, *a_shape, 0.2, True)
+    bd = jnp.asarray(rng.standard_normal(b_shape).astype(np.float32))
+    bsp = _mk(rng, *b_shape, 0.2, True)
+    ad = jnp.asarray(rng.standard_normal(a_shape).astype(np.float32))
+    topo = _mk(rng, m, n, 0.2, True)
+
+    out = ops.matmul_ssd(
+        a, bd, topo, transpose_a=ta, transpose_b=tb, variant="pallas_flat_kcat"
+    )
+    full = testing.dense_oracle_matmul(
+        np.asarray(a.to_dense()), np.asarray(bd), transpose_a=ta, transpose_b=tb
+    )
+    expected = np.asarray(
+        reference.extract_blocks(jnp.asarray(full.astype(np.float32)), topo)
+    )
+    np.testing.assert_allclose(np.asarray(out.data, np.float32), expected, atol=ATOL)
+
+    out = ops.matmul_sds(
+        ad, bsp, topo, transpose_a=ta, transpose_b=tb,
+        variant="pallas_flat_kcat",
+    )
+    full = testing.dense_oracle_matmul(
+        np.asarray(ad), np.asarray(bsp.to_dense()), transpose_a=ta,
+        transpose_b=tb,
+    )
+    expected = np.asarray(
+        reference.extract_blocks(jnp.asarray(full.astype(np.float32)), topo)
+    )
+    np.testing.assert_allclose(np.asarray(out.data, np.float32), expected, atol=ATOL)
+
+    out = ops.matmul_dss(
+        a, bsp, transpose_a=ta, transpose_b=tb, variant="pallas_flat_kcat"
+    )
+    expected = testing.dense_oracle_matmul(
+        np.asarray(a.to_dense()), np.asarray(bsp.to_dense()),
+        transpose_a=ta, transpose_b=tb,
+    )
+    np.testing.assert_allclose(np.asarray(out, np.float32), expected, atol=ATOL)
+
+
 def test_explicit_schedule_through_jit(rng):
     """Pre-planned schedules are pytrees: jit over them, traced metadata."""
     m = k = n = 512
