@@ -110,7 +110,8 @@ def run(d: int, densities, dtype_name="bfloat16", chain=8, runs=3,
                 # selection, not just the first-fit default).
                 from sputnik_tpu.ops.autotune import autotune as _autotune
 
-                for top, targs in (("dsd", (a, b)), ("dds", (b, a))):
+                for top, targs in (("dsd", (a, b)), ("dds", (b, a)),
+                                   ("sdd", (b, b, topo))):
                     if ops_filter is None or top in ops_filter:
                         try:
                             win = _autotune(top, *targs, transpose_a=ta,
@@ -221,7 +222,7 @@ def main():
     ap.add_argument("--chain", type=int, default=8)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--tune", action="store_true",
-                    help="prime the persistent autotune cache for dsd/dds "
+                    help="prime the persistent autotune cache for dsd/dds/sdd "
                     "at each grid point before measuring")
     ap.add_argument("--append", action="store_true",
                     help="merge into an existing --out artifact (replacing "

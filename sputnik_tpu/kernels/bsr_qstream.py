@@ -46,7 +46,7 @@ from sputnik_tpu.kernels.common import (
     use_interpret,
 )
 
-__all__ = ["dsd_q", "dds_q"]
+__all__ = ["dsd_q", "dds_q", "dsd_bres", "dds_bres", "BRES_MAX_DENSE_BYTES"]
 
 
 def _ffill_lane_np(vals, valid, q):
@@ -417,6 +417,275 @@ def dds_q(
         panel_tiles=cdiv(m_dim, bm),
         q=q,
         dims=dot_dims(transpose_a, transpose_b),
+        block_first=False,
+        out_dtype=out_dtype,
+        interpret=interpret,
+        accum=accum,
+    )
+    return _mask_empty_groups(out, group_offsets, bs, axis=1, min_hint=min_hint)
+
+
+# ---------------------------------------------------------------------------
+# Dense-operand-RESIDENT q-stream ("bres"): the whole dense operand lives in
+# VMEM for the kernel's lifetime.
+#
+# The q-stream above still re-fetches a (bs, n) dense panel from HBM per
+# sparse block: total dense traffic = nnz_blocks * bs * n * isz (256 MB at
+# d=4096/25% bf16 — 3.4x the compute-bound time at 819 GB/s; the chip hides
+# part of it behind the MXU, the measured 0.72-of-SoL headline is the rest).
+# When the dense operand FITS in VMEM (<= ~96 MB on v5e), fetch it ONCE: a
+# single constant-index-map BlockSpec over the whole k-major-reshaped
+# operand (the same index-map-repeat elision that made the W-resident MoE
+# FFN 1.8x, kernels/bsr_ffn.py), and read each (bs, width) contraction
+# panel in-kernel by a major-dim dynamic index. Dense HBM traffic drops
+# nnz_blocks*bs*n -> k*n, which is below the compute bound for every
+# density >= bs/k — the kernel becomes MXU-bound by construction.
+#
+# Requires the dense operand stored K-major (dsd: transpose_b=False;
+# dds: transpose_a=True) — the other orientations would need a (bs)-minor
+# dynamic slice, which Mosaic lowers poorly; they keep the streaming
+# kernels. Reference analogue: the CUTLASS kernels' persistent smem tiles
+# (default_block_gemm.h:58-61), scaled to VMEM's 128 MB.
+# ---------------------------------------------------------------------------
+
+
+def _bres_kernel(
+    out_q, dep_q, data_q, nv,  # scalar prefetch
+    *refs,  # q block refs, dense_ref, out_ref, acc_ref
+    n_steps: int,
+    q: int,
+    dims,
+    block_first: bool,
+    accum: str,
+):
+    dense_ref = refs[q]
+    out_ref, acc_ref = refs[q + 1], refs[q + 2]
+    j = pl.program_id(0)
+    base = j * q
+    cur = out_q[base]
+    prev = out_q[jnp.maximum(base - 1, 0)]
+    nxt = out_q[jnp.minimum(base + q, n_steps * q - 1)]
+    is_first = jnp.logical_or(base == 0, prev != cur)
+    is_last = jnp.logical_or(j == n_steps - 1, nxt != cur)
+
+    n_valid = nv[j]
+    blocks, panels = [], []
+    for qi in range(q):
+        block = refs[qi][0]
+        if q > 1:
+            live = (qi < n_valid).astype(block.dtype)
+            block = block * live
+        blocks.append(block)
+        panels.append(dense_ref[dep_q[base + qi]])
+    if accum == "kcat":
+        lhs_parts, rhs_parts = (
+            (blocks, panels) if block_first else (panels, blocks)
+        )
+        lhs = jnp.concatenate(lhs_parts, axis=dims[0][0][0])
+        rhs = jnp.concatenate(rhs_parts, axis=dims[0][1][0])
+        part = jax.lax.dot_general(
+            lhs, rhs, dims, preferred_element_type=jnp.float32
+        )
+    else:
+        part = None
+        for block, panel in zip(blocks, panels):
+            lhs, rhs = (block, panel) if block_first else (panel, block)
+            d = jax.lax.dot_general(
+                lhs, rhs, dims, preferred_element_type=jnp.float32
+            )
+            part = d if part is None else part + d
+
+    @pl.when(is_first)
+    def _():
+        acc_ref[:] = part
+
+    @pl.when(jnp.logical_not(is_first))
+    def _():
+        acc_ref[:] += part
+
+    @pl.when(is_last)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _bres_call(
+    *,
+    sparse_data,
+    out_ids,
+    dep_ids,
+    data_ids,
+    counts,
+    dense_kmaj,  # (k_blocks, bs, width): the K-major-reshaped dense operand
+    out_rows: int,
+    out_cols: int,
+    out_block,
+    out_is_row: bool,
+    q: int,
+    dims,
+    block_first: bool,
+    out_dtype,
+    interpret: bool,
+    accum: str = "kcat",
+):
+    bs = sparse_data.shape[-1]
+    concrete = not any(
+        isinstance(x, jax.core.Tracer) for x in (out_ids, dep_ids, data_ids, counts)
+    )
+    out_q, dep_q, data_q, nv, n_steps = _plan(
+        np.asarray(out_ids) if concrete else out_ids,
+        np.asarray(dep_ids) if concrete else dep_ids,
+        np.asarray(data_ids) if concrete else data_ids,
+        np.asarray(counts) if concrete else counts,
+        q,
+        concrete=concrete,
+    )
+
+    def block_spec(qi):
+        return pl.BlockSpec(
+            (1, bs, bs),
+            lambda j, out_q, dep_q, data_q, nv, qi=qi: (data_q[j * q + qi], 0, 0),
+        )
+
+    dense_spec = pl.BlockSpec(
+        dense_kmaj.shape, lambda j, out_q, dep_q, data_q, nv: (0, 0, 0)
+    )
+    if out_is_row:
+        out_index = lambda j, out_q, dep_q, data_q, nv: (out_q[j * q], 0)
+    else:
+        out_index = lambda j, out_q, dep_q, data_q, nv: (0, out_q[j * q])
+
+    kernel = functools.partial(
+        _bres_kernel, n_steps=n_steps, q=q, dims=dims,
+        block_first=block_first, accum=accum,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_steps,),
+        in_specs=[block_spec(i) for i in range(q)] + [dense_spec],
+        out_specs=pl.BlockSpec(out_block, out_index),
+        scratch_shapes=[pltpu.VMEM(out_block, jnp.float32)],
+    )
+    isz = jnp.dtype(dense_kmaj.dtype).itemsize
+    vmem_limit = min(
+        120 << 20,
+        int(np.prod(dense_kmaj.shape)) * isz
+        + 2 * q * bs * bs * sparse_data.dtype.itemsize
+        + 12 * out_block[0] * out_block[1]
+        + (8 << 20),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((out_rows, out_cols), out_dtype),
+        compiler_params=compiler_params(
+            ("arbitrary",), vmem_limit_bytes=vmem_limit
+        ),
+        interpret=interpret,
+    )(out_q, dep_q, data_q, nv, *([sparse_data] * q), dense_kmaj)
+
+
+# The dense operand must fit in VMEM next to the accumulator, the output
+# tile, and the staged sparse blocks (v5e: 128 MB physical).
+BRES_MAX_DENSE_BYTES = 96 << 20
+
+
+def dsd_bres(
+    a: BlockSparseMatrix,
+    b: jax.Array,
+    *,
+    transpose_a: bool = False,
+    transpose_b: bool = False,
+    out_dtype=None,
+    q: int = 8,
+    accum: str = "kcat",
+    interpret: bool | None = None,
+) -> jax.Array:
+    """C = op(A_sparse) @ B with the WHOLE of B VMEM-resident (fetched
+    once). Requires ``transpose_b=False`` (B stored K-major) and
+    ``B.nbytes <= BRES_MAX_DENSE_BYTES``."""
+    if transpose_b:
+        raise ValueError("dsd_bres requires transpose_b=False (K-major B)")
+    interpret = use_interpret() if interpret is None else interpret
+    out_dtype = out_dtype or a.dtype
+    bs = a.block_size
+    m_dim = a.cols if transpose_a else a.rows
+    k_dim = a.rows if transpose_a else a.cols
+    if b.shape[0] != k_dim:
+        raise ValueError(f"contraction mismatch: A gives k={k_dim}, B gives {b.shape[0]}")
+    n_dim = b.shape[1]
+    if a.nnz_blocks == 0:
+        return jnp.zeros((m_dim, n_dim), out_dtype)
+    out_ids, dep_ids, data_ids = a.iteration_arrays(transposed=transpose_a)
+    group_offsets = (
+        a.with_transpose_metadata().offsets_t if transpose_a else a.offsets
+    )
+    counts = group_offsets[1:] - group_offsets[:-1]
+    min_hint = a.min_col_nnz if transpose_a else a.min_row_nnz
+    out = _bres_call(
+        sparse_data=a.data,
+        out_ids=out_ids,
+        dep_ids=dep_ids,
+        data_ids=data_ids,
+        counts=counts,
+        dense_kmaj=b.reshape(k_dim // bs, bs, n_dim),
+        out_rows=m_dim,
+        out_cols=n_dim,
+        out_block=(bs, n_dim),
+        out_is_row=True,
+        q=q,
+        dims=dot_dims(transpose_a, False),
+        block_first=True,
+        out_dtype=out_dtype,
+        interpret=interpret,
+        accum=accum,
+    )
+    return _mask_empty_groups(out, group_offsets, bs, axis=0, min_hint=min_hint)
+
+
+def dds_bres(
+    a: jax.Array,
+    b: BlockSparseMatrix,
+    *,
+    transpose_a: bool = False,
+    transpose_b: bool = False,
+    out_dtype=None,
+    q: int = 8,
+    accum: str = "kcat",
+    interpret: bool | None = None,
+) -> jax.Array:
+    """C = op(A) @ op(B_sparse) with the WHOLE of A VMEM-resident.
+    Requires ``transpose_a=True`` (A stored K-major)."""
+    if not transpose_a:
+        raise ValueError("dds_bres requires transpose_a=True (K-major A)")
+    interpret = use_interpret() if interpret is None else interpret
+    out_dtype = out_dtype or b.dtype
+    bs = b.block_size
+    n_dim = b.rows if transpose_b else b.cols
+    k_dim = b.cols if transpose_b else b.rows
+    if a.shape[0] != k_dim:
+        raise ValueError(f"contraction mismatch: B gives k={k_dim}, A gives {a.shape[0]}")
+    m_dim = a.shape[1]
+    if b.nnz_blocks == 0:
+        return jnp.zeros((m_dim, n_dim), out_dtype)
+    out_ids, dep_ids, data_ids = b.iteration_arrays(transposed=not transpose_b)
+    group_offsets = (
+        b.offsets if transpose_b else b.with_transpose_metadata().offsets_t
+    )
+    counts = group_offsets[1:] - group_offsets[:-1]
+    min_hint = b.min_row_nnz if transpose_b else b.min_col_nnz
+    out = _bres_call(
+        sparse_data=b.data,
+        out_ids=out_ids,
+        dep_ids=dep_ids,
+        data_ids=data_ids,
+        counts=counts,
+        dense_kmaj=a.reshape(k_dim // bs, bs, m_dim),
+        out_rows=m_dim,
+        out_cols=n_dim,
+        out_block=(m_dim, bs),
+        out_is_row=False,
+        q=q,
+        dims=dot_dims(True, transpose_b),
         block_first=False,
         out_dtype=out_dtype,
         interpret=interpret,

@@ -15,10 +15,13 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from sputnik_tpu.formats import BlockSparseMatrix, bsr_to_dense
-from sputnik_tpu.kernels import bsr_dsd
+from sputnik_tpu.kernels import bsr_dsd, bsr_small
 from sputnik_tpu.kernels.reference import extract_blocks
 
-__all__ = ["ssd", "sds", "dss", "DENSITY_THRESHOLD"]
+__all__ = [
+    "ssd", "sds", "dss", "DENSITY_THRESHOLD",
+    "ssd_smallblock", "sds_smallblock", "dss_smallblock",
+]
 
 # Below this block density the direct variable-step kernels win.
 DENSITY_THRESHOLD = 1 / 16
@@ -63,4 +66,55 @@ def dss(a: BlockSparseMatrix, b: BlockSparseMatrix, *, transpose_a=False,
         transpose_b=transpose_b,
         out_dtype=out_dtype,
         **kw,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Small-block (16/32/64) sparse-saving variants for the sparse-output and
+# sparse-sparse ops. The reference reserved BlockSize {16,32,64} for ALL six
+# ops but wired none (``arguments.h:13-19``); the packed small-block DSD/DDS
+# kernels (``bsr_small.py``) provide exact sparse-INPUT compute savings, and
+# the sparse output is gathered out in one fused XLA pass (``extract_blocks``)
+# — the same detour discipline as the 128-block ``ssd``/``sds`` above, but
+# with the sparse operand's absent blocks actually skipped on the MXU.
+# ---------------------------------------------------------------------------
+
+
+def ssd_smallblock(a, b, topology, *, transpose_a=False, transpose_b=False,
+                   out_dtype=None, **kw):
+    """C_smallblock = op(A_smallblock) @ op(B): packed sparse-saving DSD
+    computes the dense product, topology's blocks are extracted."""
+    out_dtype = out_dtype or topology.dtype
+    full = bsr_small.dsd_smallblock(
+        a, b, transpose_a=transpose_a, transpose_b=transpose_b,
+        out_dtype=out_dtype, **kw,
+    )
+    return topology.with_data(extract_blocks(full, topology))
+
+
+def sds_smallblock(a, b, topology, *, transpose_a=False, transpose_b=False,
+                   out_dtype=None, **kw):
+    """C_smallblock = op(A) @ op(B_smallblock) via the packed DDS mirror."""
+    out_dtype = out_dtype or topology.dtype
+    full = bsr_small.dds_smallblock(
+        a, b, transpose_a=transpose_a, transpose_b=transpose_b,
+        out_dtype=out_dtype, **kw,
+    )
+    return topology.with_data(extract_blocks(full, topology))
+
+
+def dss_smallblock(a: BlockSparseMatrix, b: BlockSparseMatrix, *,
+                   transpose_a=False, transpose_b=False, out_dtype=None, **kw):
+    """C = op(A_smallblock) @ op(B_smallblock): densify the side with fewer
+    bytes, keep the other sparse in the packed small-block kernel (the same
+    static nnz-based side choice as :func:`dss`)."""
+    out_dtype = out_dtype or a.dtype
+    if a.nnz <= b.nnz:
+        return bsr_small.dds_smallblock(
+            bsr_to_dense(a), b, transpose_a=transpose_a,
+            transpose_b=transpose_b, out_dtype=out_dtype, **kw,
+        )
+    return bsr_small.dsd_smallblock(
+        a, bsr_to_dense(b), transpose_a=transpose_a,
+        transpose_b=transpose_b, out_dtype=out_dtype, **kw,
     )

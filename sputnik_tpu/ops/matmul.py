@@ -154,6 +154,29 @@ registry.register(
     "dsd", "pallas_qstream_kcat_q8", _dsd_can,
     functools.partial(bsr_qstream.dsd_q, accum="kcat", q=8),
 )
+
+
+def _dsd_bres_can(a, b, transpose_a=False, transpose_b=False, out_dtype=None,
+                  **kw):
+    """Whole-B-resident q-stream: B K-major (transpose_b=False) and small
+    enough to live in VMEM beside the accumulator and the output tile —
+    dense HBM traffic drops nnz_blocks*bs*n -> k*n (fetched once)."""
+    if transpose_b:
+        return False
+    if not _dsd_can(a, b, transpose_a=transpose_a, transpose_b=transpose_b,
+                    out_dtype=out_dtype):
+        return False
+    n_dim = b.shape[1]
+    dense_bytes = b.size * jnp.dtype(b.dtype).itemsize
+    return (dense_bytes + 6 * a.block_size * n_dim
+            <= bsr_qstream.BRES_MAX_DENSE_BYTES)
+
+
+registry.register("dsd", "pallas_bres", _dsd_bres_can, bsr_qstream.dsd_bres)
+registry.register(
+    "dsd", "pallas_bres_q4", _dsd_bres_can,
+    functools.partial(bsr_qstream.dsd_bres, q=4),
+)
 # C-resident schedule: measured v5e @25% bf16 40.0 vs stream's 38.3 us
 # (d=2048) and 307.8 vs 243.3 (d=4096) — the per-step dynamic-indexed
 # fp32 accumulate doesn't overlap the MXU well enough to beat streaming
@@ -332,6 +355,23 @@ registry.register(
     "dds", "pallas_qstream_kcat_q8", _dds_can,
     functools.partial(bsr_qstream.dds_q, accum="kcat", q=8),
 )
+
+
+def _dds_bres_can(a, b, transpose_a=False, transpose_b=False, out_dtype=None,
+                  **kw):
+    """Whole-A-resident q-stream mirror: A K-major (transpose_a=True)."""
+    if not transpose_a:
+        return False
+    if not _dds_can(a, b, transpose_a=transpose_a, transpose_b=transpose_b,
+                    out_dtype=out_dtype):
+        return False
+    m_dim = a.shape[1]
+    dense_bytes = a.size * jnp.dtype(a.dtype).itemsize
+    return (dense_bytes + 6 * b.block_size * m_dim
+            <= bsr_qstream.BRES_MAX_DENSE_BYTES)
+
+
+registry.register("dds", "pallas_bres", _dds_bres_can, bsr_qstream.dds_bres)
 registry.register("dds", "pallas_stream_at", _dds_can, _dds_stream_at)
 registry.register("dds", "pallas_panel", _dds_panel_can, bsr_panel.dds_panel)
 registry.register("dds", "pallas_pipelined", _dds_can, bsr_dsd_pipelined.dds)
@@ -489,6 +529,24 @@ registry.register(
 )
 registry.register("ssd", "pallas_dsd_extract", _ssd_dense_detour_can, via_dense.ssd)
 registry.register("ssd", "pallas_output_stationary", _ssd_can, bsr_ssd.ssd)
+
+
+def _ssd_small_can(a, b, topology, transpose_a=False, transpose_b=False,
+                   out_dtype=None, schedule=None, **kw):
+    """Small-block SSD (bs 16/32/64): packed sparse-saving DSD + block
+    extract (the reserved-enum sizes, arguments.h:13-19). An explicit
+    ``schedule`` is the 128-block flat path's plan format — reject it."""
+    return (
+        schedule is None
+        and topology.block_size == a.block_size
+        and _dsd_small_can(a, b, transpose_a=transpose_a,
+                           transpose_b=transpose_b,
+                           out_dtype=out_dtype or topology.dtype)
+    )
+
+
+registry.register("ssd", "pallas_smallblock", _ssd_small_can,
+                  via_dense.ssd_smallblock)
 registry.register("ssd", "jnp_fallback", lambda *a, **k: True, reference.ssd)
 
 
@@ -557,6 +615,22 @@ registry.register(
 )
 registry.register("sds", "pallas_dds_extract", _sds_dense_detour_can, via_dense.sds)
 registry.register("sds", "pallas_output_stationary", _sds_can, bsr_ssd.sds)
+
+
+def _sds_small_can(a, b, topology, transpose_a=False, transpose_b=False,
+                   out_dtype=None, schedule=None, **kw):
+    """Small-block SDS: packed sparse-saving DDS mirror + block extract."""
+    return (
+        schedule is None
+        and topology.block_size == b.block_size
+        and _dds_small_can(a, b, transpose_a=transpose_a,
+                           transpose_b=transpose_b,
+                           out_dtype=out_dtype or topology.dtype)
+    )
+
+
+registry.register("sds", "pallas_smallblock", _sds_small_can,
+                  via_dense.sds_smallblock)
 registry.register("sds", "jnp_fallback", lambda *a, **k: True, reference.sds)
 
 
@@ -653,6 +727,34 @@ registry.register(
 registry.register("dss", "pallas_densify_stream", _dss_densify_can, via_dense.dss)
 registry.register("dss", "pallas_worklist", _dss_worklist_can, bsr_dss.dss_worklist)
 registry.register("dss", "pallas_masked_stream", _dss_can, bsr_dss.dss)
+
+
+def _dss_small_can(a, b, transpose_a=False, transpose_b=False,
+                   out_dtype=None, schedule=None, **kw):
+    """Small-block DSS: densify the smaller side (a static nnz choice, like
+    ``via_dense.dss``), run the packed small-block kernel on the other."""
+    if (schedule is not None or a.block_size != b.block_size
+            or a.block_size not in (16, 32, 64)):
+        return False
+    if not all(
+        jnp.dtype(dt) in (jnp.dtype(d) for d in _PALLAS_DTYPES)
+        for dt in (a.dtype, b.dtype, out_dtype or a.dtype)
+    ):
+        return False
+    k_dim = a.rows if transpose_a else a.cols
+    if k_dim % a.block_size != 0:
+        return False
+    if a.nnz <= b.nnz:  # densify a; b rides dds_smallblock
+        m_dim = a.cols if transpose_a else a.rows
+        return (b.nnz_blocks > 0 and m_dim % 128 == 0
+                and _concrete(b.offsets, b.indices))
+    n_dim = b.rows if transpose_b else b.cols  # densify b; a rides dsd
+    return (a.nnz_blocks > 0 and n_dim % 128 == 0
+            and _concrete(a.offsets, a.indices))
+
+
+registry.register("dss", "pallas_smallblock", _dss_small_can,
+                  via_dense.dss_smallblock)
 registry.register("dss", "jnp_fallback", lambda *a, **k: True, reference.dss)
 
 

@@ -14,7 +14,8 @@ import dataclasses
 import logging
 from typing import Callable, Dict, List
 
-__all__ = ["KernelVariant", "register", "dispatch", "variants_for"]
+__all__ = ["KernelVariant", "register", "dispatch", "dispatch_name",
+           "variants_for"]
 
 # The reference's SPUTNIK_LOG (logging.h:34-43); enable with
 # logging.getLogger("sputnik_tpu").setLevel(logging.DEBUG).
@@ -59,12 +60,15 @@ def variants_for(op: str) -> List[KernelVariant]:
     return list(_REGISTRY.get(op, []))
 
 
-def dispatch(op: str, *args, variant: str | None = None, **kwargs):
+def _select(op: str, args, kwargs, variant: str | None = None) -> KernelVariant:
+    """The variant ``dispatch`` would launch for this problem (tuned cache
+    first, then ``can_implement`` first-fit) — shared by :func:`dispatch`
+    and :func:`dispatch_name`."""
     variants = _REGISTRY.get(op, [])
     if variant is not None:
         for v in variants:
             if v.name == variant:
-                return v.launch(*args, **kwargs)
+                return v
         raise ValueError(f"{op}: no variant named {variant!r}")
     # Tuned winner first (the reference's "TODO: do something smarter",
     # cutlass/dsd.cu:57-74): consult the persistent autotune cache by
@@ -79,7 +83,7 @@ def dispatch(op: str, *args, variant: str | None = None, **kwargs):
                     ok = False
                 if ok:
                     log.debug("%s: dispatching tuned %s", op, tuned)
-                    return v.launch(*args, **kwargs)
+                    return v
                 break
     for v in variants:
         if v.can_implement(*args, **kwargs):
@@ -90,7 +94,7 @@ def dispatch(op: str, *args, variant: str | None = None, **kwargs):
                     v.name,
                     [getattr(a, "shape", None) for a in args],
                 )
-            return v.launch(*args, **kwargs)
+            return v
     # Mirror the reference's FATAL-with-full-shape-dump behavior.
     shapes = [getattr(a, "shape", None) for a in args]
     raise NotImplementedError(
@@ -98,3 +102,13 @@ def dispatch(op: str, *args, variant: str | None = None, **kwargs):
         f"arg shapes={shapes}, kwargs={ {k: v for k, v in kwargs.items() if not hasattr(v, 'shape')} }, "
         f"variants tried={[v.name for v in variants]}"
     )
+
+
+def dispatch(op: str, *args, variant: str | None = None, **kwargs):
+    return _select(op, args, kwargs, variant).launch(*args, **kwargs)
+
+
+def dispatch_name(op: str, *args, variant: str | None = None, **kwargs) -> str:
+    """Name of the variant :func:`dispatch` would pick, without launching —
+    the observability hook for tests and dispatch debugging."""
+    return _select(op, args, kwargs, variant).name

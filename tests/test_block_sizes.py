@@ -186,3 +186,80 @@ def test_smallblock_unordered_and_ragged(rng):
     out = ops.matmul_dsd(a, b, variant="pallas_smallblock")
     expected = testing.dense_oracle_matmul(np.asarray(a.to_dense()), np.asarray(b))
     np.testing.assert_allclose(np.asarray(out, np.float32), expected, atol=ATOL)
+
+
+@pytest.mark.parametrize("bs", [32, 64])
+@pytest.mark.parametrize("ta,tb", [(False, False), (True, False),
+                                   (False, True), (True, True)])
+def test_smallblock_ssd_all_modes(rng, bs, ta, tb):
+    """Small-block SSD: packed sparse-saving DSD + block extract — the
+    reserved-enum sizes now cover the sparse-output ops too."""
+    from sputnik_tpu.kernels import reference as ref_kernels
+    from sputnik_tpu.ops import registry
+
+    m, k, n = 384, 256, 512
+    a_shape = (k, m) if ta else (m, k)
+    a = testing.random_bsr(rng, *a_shape, a_shape[0] * a_shape[1] // 3, bs)
+    topo = testing.random_bsr(rng, m, n, m * n // 3, bs)
+    b_kn = rng.standard_normal((k, n)).astype(np.float32)
+    b = jnp.asarray(b_kn.T.copy() if tb else b_kn)
+    assert registry.dispatch_name(
+        "ssd", a, b, topo, transpose_a=ta, transpose_b=tb
+    ) == "pallas_smallblock"
+    out = ops.matmul_ssd(a, b, topo, transpose_a=ta, transpose_b=tb)
+    full = testing.dense_oracle_matmul(
+        np.asarray(a.to_dense()), b_kn, transpose_a=ta
+    )
+    expected = np.asarray(
+        ref_kernels.extract_blocks(jnp.asarray(full.astype(np.float32)), topo)
+    )
+    np.testing.assert_allclose(np.asarray(out.data, np.float32), expected,
+                               atol=ATOL)
+
+
+@pytest.mark.parametrize("bs", [32, 64])
+@pytest.mark.parametrize("ta,tb", [(False, False), (False, True)])
+def test_smallblock_sds_modes(rng, bs, ta, tb):
+    """Small-block SDS via the packed DDS mirror + block extract."""
+    from sputnik_tpu.kernels import reference as ref_kernels
+    from sputnik_tpu.ops import registry
+
+    m, k, n = 512, 256, 384
+    b_shape = (n, k) if tb else (k, n)
+    bsp = testing.random_bsr(rng, *b_shape, b_shape[0] * b_shape[1] // 3, bs)
+    topo = testing.random_bsr(rng, m, n, m * n // 3, bs)
+    a_mk = rng.standard_normal((m, k)).astype(np.float32)
+    a = jnp.asarray(a_mk.T.copy() if ta else a_mk)
+    assert registry.dispatch_name(
+        "sds", a, bsp, topo, transpose_a=ta, transpose_b=tb
+    ) == "pallas_smallblock"
+    out = ops.matmul_sds(a, bsp, topo, transpose_a=ta, transpose_b=tb)
+    full = testing.dense_oracle_matmul(
+        a_mk, np.asarray(bsp.to_dense()), transpose_b=tb
+    )
+    expected = np.asarray(
+        ref_kernels.extract_blocks(jnp.asarray(full.astype(np.float32)), topo)
+    )
+    np.testing.assert_allclose(np.asarray(out.data, np.float32), expected,
+                               atol=ATOL)
+
+
+@pytest.mark.parametrize("bs", [32, 64])
+@pytest.mark.parametrize("denser_side", ["a", "b"])
+def test_smallblock_dss(rng, bs, denser_side):
+    """Small-block DSS: the smaller side densifies, the denser side keeps
+    its packed sparse-saving kernel (static nnz-based side choice)."""
+    from sputnik_tpu.ops import registry
+
+    m, k, n = 384, 256, 512
+    na = m * k // (6 if denser_side == "b" else 2)
+    nb = k * n // (6 if denser_side == "a" else 2)
+    a = testing.random_bsr(rng, m, k, na, bs)
+    b = testing.random_bsr(rng, k, n, nb, bs)
+    assert registry.dispatch_name("dss", a, b) == "pallas_smallblock"
+    out = ops.matmul_dss(a, b)
+    expected = testing.dense_oracle_matmul(
+        np.asarray(a.to_dense()), np.asarray(b.to_dense())
+    )
+    np.testing.assert_allclose(np.asarray(out, np.float32), expected,
+                               atol=ATOL)

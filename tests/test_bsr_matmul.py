@@ -545,3 +545,58 @@ def test_trained_weight_pruning_roundtrip():
     out = csr_ops.spmm(s, b)
     exp = testing.dense_oracle_matmul(np.asarray(c.to_dense()), np.asarray(b))
     np.testing.assert_allclose(np.asarray(out, np.float32), exp, atol=ATOL)
+
+
+@pytest.mark.parametrize("ta", [False, True])
+@pytest.mark.parametrize("q", [4, 8])
+def test_bres_dsd(rng, ta, q):
+    """Whole-B-resident q-stream: B fetched once through a constant-index
+    BlockSpec, contraction panels read by major-dim dynamic index. Ragged
+    rows exercise the padding slots; unordered indices the sort."""
+    m, k, n = 640, 384, 512
+    a_shape, _ = _dims(m, k, n, ta, False)
+    a = _mk_sparse(rng, *a_shape, 0.3, True)
+    b = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32))
+    out = ops.matmul_dsd(
+        a, b, transpose_a=ta, variant="pallas_bres", q=q
+    )
+    expected = testing.dense_oracle_matmul(
+        np.asarray(a.to_dense()), np.asarray(b), transpose_a=ta
+    )
+    _check(out, expected)
+
+
+@pytest.mark.parametrize("tb", [False, True])
+def test_bres_dds(rng, tb):
+    """Whole-A-resident mirror (transpose_a=True: A stored K-major)."""
+    m, k, n = 512, 384, 640
+    _, b_shape = _dims(m, k, n, True, tb)
+    ad = jnp.asarray(rng.standard_normal((k, m)).astype(np.float32))
+    bsp = _mk_sparse(rng, *b_shape, 0.3, True)
+    out = ops.matmul_dds(
+        ad, bsp, transpose_a=True, transpose_b=tb, variant="pallas_bres"
+    )
+    expected = testing.dense_oracle_matmul(
+        np.asarray(ad), np.asarray(bsp.to_dense()), transpose_a=True,
+        transpose_b=tb,
+    )
+    _check(out, expected)
+
+
+def test_bres_gates_and_traced(rng):
+    """can_implement rejects transposed-B / oversized B; the slot plan
+    builds under jit (traced metadata)."""
+    import jax
+
+    from sputnik_tpu.ops.matmul import _dsd_bres_can
+
+    a = _mk_sparse(rng, 512, 384, 0.3, True)
+    b = jnp.asarray(rng.standard_normal((384, 256)).astype(np.float32))
+    assert _dsd_bres_can(a, b)
+    assert not _dsd_bres_can(a, jnp.asarray(np.zeros((256, 384), np.float32)),
+                             transpose_b=True)
+    out = jax.jit(
+        lambda x, y: ops.matmul_dsd(x, y, variant="pallas_bres", q=4)
+    )(a, b)
+    expected = testing.dense_oracle_matmul(np.asarray(a.to_dense()), np.asarray(b))
+    _check(out, expected)
