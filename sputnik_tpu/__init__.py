@@ -31,7 +31,7 @@ from sputnik_tpu import ops
 from sputnik_tpu.ops import matmul_dsd, matmul_dds, matmul_sdd, matmul_ssd, matmul_sds, matmul_dss
 from sputnik_tpu.ops import grad, value_and_grad
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "BlockSparseMatrix",

@@ -1,0 +1,235 @@
+"""Multi-controller SPMD validation: N OS processes x M CPU devices (gloo).
+
+The library's multi-chip paths are routinely validated on a single-process
+8-device CPU mesh (``tests/``, ``__graft_entry__.dryrun_multichip``). A
+single process cannot catch multi-CONTROLLER bugs: host-side planning code
+that silently assumes a global device view, collectives that deadlock
+across process boundaries, or shardings that only resolve when every device
+is addressable. This harness runs the same sharded code paths across real
+OS process boundaries with XLA's gloo CPU collectives — the closest
+single-host stand-in for a multi-host TPU pod (SURVEY.md §2.8's weak-scaling
+deployment target): ``psum`` / ``all_gather`` / ``psum_scatter`` /
+``all_to_all`` all cross a non-shared-memory boundary exactly as they would
+cross ICI/DCN between hosts.
+
+Cases (each compared against the fp64/np dense oracle on every process):
+  dsd_row       row-partitioned BSR SpMM, B replicated (zero comm)
+  dsd_kgather   B K-sharded, ``all_gather`` over the mesh axis
+  csr_kshard    contraction-sharded SELL SpMM, ``psum_scatter`` reduction
+  ep_moe        expert-parallel MoE forward, ``all_to_all`` token exchange
+  moe_train     dp x tp MoE train step (loss + grads; ``psum`` over data)
+
+Launcher (spawns the workers, collects the artifact):
+  python -m sputnik_tpu.bench.multiproc [--nproc 2] [--out MULTIPROC.json]
+Worker (internal): invoked by the launcher with _MP_PROC/_MP_NPROC/_MP_PORT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+LOCAL_DEVICES = 4
+
+
+def _worker(proc_id: int, nproc: int, port: int, out_path: str | None):
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={LOCAL_DEVICES}"
+    )
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(
+        f"127.0.0.1:{port}", num_processes=nproc, process_id=proc_id
+    )
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from sputnik_tpu import parallel
+    from sputnik_tpu.utils import testing
+
+    n_dev = nproc * LOCAL_DEVICES
+    assert len(jax.devices()) == n_dev, (len(jax.devices()), n_dev)
+    devs = np.array(jax.devices())
+    results = {}
+
+    def record(name, out, expected, atol=5e-2):
+        got = multihost_utils.process_allgather(out, tiled=True)
+        err = float(np.max(np.abs(np.asarray(got, np.float32) - expected)))
+        results[name] = {"max_abs_err": err, "ok": bool(err <= atol)}
+        if proc_id == 0:
+            print(f"{name}: max_abs_err={err:.2e} "
+                  f"{'OK' if err <= atol else 'FAIL'}", flush=True)
+
+    # Every process builds IDENTICAL host-side inputs from the same seed —
+    # the multi-controller contract (host planning must not depend on the
+    # process's local device view).
+    rng = np.random.default_rng(17)
+    mesh1 = Mesh(devs, ("x",))
+
+    # 1-2. Row-partitioned BSR SpMM; then B K-sharded via all_gather.
+    rows, cols, n = n_dev * 128, 512, 256
+    a = testing.random_bsr(rng, rows, cols, int(rows * cols * 0.25), 128)
+    sharded = parallel.partition_bsr_rows(a, n_dev)
+    b = jnp.asarray(rng.standard_normal((cols, n)).astype(np.float32))
+    expected = testing.dense_oracle_matmul(np.asarray(a.to_dense()),
+                                           np.asarray(b))
+    record("dsd_row", parallel.sharded_dsd(sharded, b, mesh1), expected)
+    record("dsd_kgather",
+           parallel.sharded_dsd(sharded, b, mesh1, b_sharded_k=True),
+           expected)
+
+    # 3. Contraction-sharded SELL SpMM, psum_scatter reduce.
+    rows, cols = n_dev * 128, n_dev * 256
+    c = testing.random_csr(rng, rows, cols, int(rows * cols * 0.1))
+    csharded = parallel.partition_sell_cols(c, n_dev)
+    b2 = jnp.asarray(rng.standard_normal((cols, 64)).astype(np.float32))
+    expected = testing.dense_oracle_matmul(np.asarray(c.to_dense()),
+                                           np.asarray(b2))
+    record("csr_kshard",
+           parallel.sharded_spmm_kshard(csharded, b2, mesh1,
+                                        out_dtype=jnp.float32),
+           expected)
+
+    # 4. Expert-parallel MoE forward: all_to_all spans BOTH processes
+    # (expert axis = all devices).
+    from sputnik_tpu.models import moe as moe_lib
+    from sputnik_tpu.models import moe_parallel
+
+    mesh_ep = Mesh(devs.reshape(1, n_dev), ("data", "expert"))
+    cfg = moe_lib.MoEConfig(d_model=128, d_ff=128, n_experts=n_dev,
+                            capacity=n_dev * 128, dtype=jnp.float32)
+    params = moe_parallel.reshape_params_for_mesh(
+        moe_lib.init_moe_params(jax.random.PRNGKey(0), cfg), cfg
+    )
+    # Oracle copies BEFORE device_put: once sharded over 'expert' the
+    # params span non-addressable devices and cannot be fetched directly.
+    router = np.asarray(params["router"])
+    w1 = np.asarray(params["w1"], np.float32).reshape(cfg.d_model, -1)
+    w2 = np.asarray(params["w2"], np.float32).reshape(-1, cfg.d_model)
+    params = {
+        "router": jax.device_put(params["router"],
+                                 NamedSharding(mesh_ep, P())),
+        "w1": jax.device_put(params["w1"],
+                             NamedSharding(mesh_ep, P(None, "expert", None))),
+        "w2": jax.device_put(params["w2"],
+                             NamedSharding(mesh_ep, P("expert", None, None))),
+    }
+    xs = rng.standard_normal((64, cfg.d_model)).astype(np.float32)
+    x = jax.device_put(jnp.asarray(xs),
+                       NamedSharding(mesh_ep, P(("data", "expert"), None)))
+    fwd = jax.jit(moe_parallel.make_ep_moe_forward(mesh_ep, cfg))
+    y = fwd(params, x)
+    logits = xs @ router
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs = probs / probs.sum(-1, keepdims=True)
+    expert, prob = probs.argmax(-1), probs.max(-1)
+    exp = np.zeros_like(xs)
+    for t in range(xs.shape[0]):
+        e = int(expert[t])
+        h = np.asarray(jax.nn.gelu(
+            xs[t] @ w1[:, e * cfg.d_ff:(e + 1) * cfg.d_ff]))
+        exp[t] = (h @ w2[e * cfg.d_ff:(e + 1) * cfg.d_ff, :]) * prob[t]
+    record("ep_moe", y, exp)
+
+    # 5. dp x tp MoE train step: grads psum over 'data' crosses processes.
+    dp, tp = n_dev // 2, 2
+    mesh_tr = Mesh(devs.reshape(dp, tp), ("data", "model"))
+    cfg2 = moe_lib.MoEConfig(d_model=128, d_ff=128 * tp, n_experts=2,
+                             capacity=128, dtype=jnp.float32)
+    tokens = 128 * dp
+    params2 = moe_parallel.reshape_params_for_mesh(
+        moe_lib.init_moe_params(jax.random.PRNGKey(0), cfg2), cfg2
+    )
+    specs = moe_parallel.param_specs()
+    params2 = jax.tree.map(
+        lambda p, s: jax.device_put(p, NamedSharding(mesh_tr, s)),
+        params2, specs, is_leaf=lambda v: isinstance(v, jax.Array),
+    )
+    loss_fn = moe_parallel.make_sharded_moe_loss(mesh_tr, cfg2, tokens)
+    x2 = jax.device_put(
+        jnp.asarray(rng.standard_normal((tokens, cfg2.d_model)).astype(np.float32)),
+        NamedSharding(mesh_tr, P("data", None)))
+    tgt = jax.device_put(
+        jnp.asarray(rng.standard_normal((tokens, cfg2.d_model)).astype(np.float32)),
+        NamedSharding(mesh_tr, P("data", None)))
+
+    @jax.jit
+    def train_step(p, x, t):
+        loss, grads = jax.value_and_grad(loss_fn)(p, x, t)
+        return loss, jax.tree.map(lambda a, g: a - 1e-2 * g, p, grads)
+
+    loss0, params2 = train_step(params2, x2, tgt)
+    loss1, _ = train_step(params2, x2, tgt)
+    l0, l1 = float(loss0), float(loss1)
+    results["moe_train"] = {
+        "loss0": l0, "loss1": l1, "ok": bool(np.isfinite(l1) and l1 < l0)
+    }
+    if proc_id == 0:
+        print(f"moe_train: loss {l0:.4f} -> {l1:.4f} "
+              f"{'OK' if l1 < l0 else 'FAIL'}", flush=True)
+
+    if proc_id == 0 and out_path:
+        artifact = {
+            "nproc": nproc,
+            "local_devices_per_proc": LOCAL_DEVICES,
+            "global_devices": n_dev,
+            "collectives_backend": "gloo (XLA CPU cross-process)",
+            "cases": results,
+        }
+        with open(out_path, "w") as f:
+            json.dump(artifact, f, indent=2)
+        print(f"(written to {out_path})", flush=True)
+    ok = all(r["ok"] for r in results.values())
+    jax.distributed.shutdown()
+    sys.exit(0 if ok else 1)
+
+
+def main():
+    if "_MP_PROC" in os.environ:
+        _worker(
+            int(os.environ["_MP_PROC"]),
+            int(os.environ["_MP_NPROC"]),
+            int(os.environ["_MP_PORT"]),
+            os.environ.get("_MP_OUT") or None,
+        )
+        return
+
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nproc", type=int, default=2)
+    ap.add_argument("--out", default="MULTIPROC.json")
+    ap.add_argument("--timeout", type=int, default=1800)
+    args = ap.parse_args()
+    port = 29100 + os.getpid() % 800
+    procs = []
+    for i in range(args.nproc):
+        env = dict(
+            os.environ,
+            _MP_PROC=str(i),
+            _MP_NPROC=str(args.nproc),
+            _MP_PORT=str(port),
+            _MP_OUT=(args.out if i == 0 else ""),
+        )
+        # Workers must re-exec this module so XLA_FLAGS lands before jax
+        # imports; stdout flows through for proc 0.
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "sputnik_tpu.bench.multiproc"],
+            env=env,
+            stdout=None if i == 0 else subprocess.DEVNULL,
+            stderr=subprocess.STDOUT if i == 0 else subprocess.DEVNULL,
+        ))
+    codes = [p.wait(timeout=args.timeout) for p in procs]
+    if any(codes):
+        raise SystemExit(f"multiproc validation FAILED: exit codes {codes}")
+    print(f"ALL CASES OK across {args.nproc} processes")
+
+
+if __name__ == "__main__":
+    main()

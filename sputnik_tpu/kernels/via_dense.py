@@ -26,6 +26,13 @@ __all__ = [
 # Below this block density the direct variable-step kernels win.
 DENSITY_THRESHOLD = 1 / 16
 
+# At and above this block density the sparse operand is effectively dense:
+# the stream kernels save <= 20% of the MXU work but run at ~0.6-0.7 of the
+# XLA dense matmul's efficiency (measured d=2048 @100%: stream 133 us vs a
+# ~103 us dense dot), so densify + one XLA dot wins. first-fit gate for
+# DSD / DDS / SDD; autotune can still override per problem.
+DENSIFY_THRESHOLD = 0.8
+
 
 def ssd(a, b, topology, *, transpose_a=False, transpose_b=False, out_dtype=None, schedule=None, **kw):
     out_dtype = out_dtype or topology.dtype

@@ -600,3 +600,23 @@ def test_bres_gates_and_traced(rng):
     )(a, b)
     expected = testing.dense_oracle_matmul(np.asarray(a.to_dense()), np.asarray(b))
     _check(out, expected)
+
+
+def test_dense_detour_dispatch(rng):
+    """Near-dense sparse operands (density >= 0.8) route to the XLA
+    densify-detour in first-fit — the stream kernels save too little MXU
+    work there to beat one dense dot (measured d=2048 @100%)."""
+    from sputnik_tpu.ops import registry
+
+    dense_a = _mk_sparse(rng, 512, 384, 1.0, False)
+    sparse_a = _mk_sparse(rng, 512, 384, 0.3, False)
+    b = jnp.asarray(rng.standard_normal((384, 256)).astype(np.float32))
+    assert registry.dispatch_name("dsd", dense_a, b) == "xla_dense_detour"
+    assert registry.dispatch_name("dsd", sparse_a, b) != "xla_dense_detour"
+    _check(ops.matmul_dsd(dense_a, b),
+           testing.dense_oracle_matmul(np.asarray(dense_a.to_dense()),
+                                       np.asarray(b)))
+    topo = _mk_sparse(rng, 512, 256, 1.0, False)
+    assert registry.dispatch_name("sdd", b.T, b, topo) == "xla_dense_detour"
+    dense_b = _mk_sparse(rng, 384, 256, 1.0, False)
+    assert registry.dispatch_name("dds", b, dense_b) == "xla_dense_detour"
