@@ -28,7 +28,7 @@ from sputnik_tpu.formats import (
     csr_from_dense,
 )
 from sputnik_tpu import ops
-from sputnik_tpu.ops import matmul_dsd, matmul_dds, matmul_sdd, matmul_ssd, matmul_sds, matmul_dss
+from sputnik_tpu.ops import matmul_dsd, matmul_dds, matmul_sdd, matmul_ssd, matmul_sds, matmul_dss, matmul_sss
 from sputnik_tpu.ops import grad, value_and_grad
 
 __version__ = "0.2.0"
@@ -47,6 +47,7 @@ __all__ = [
     "matmul_ssd",
     "matmul_sds",
     "matmul_dss",
+    "matmul_sss",
     "grad",
     "value_and_grad",
 ]

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from sputnik_tpu.formats import BlockSparseMatrix, bsr_to_dense
 
-__all__ = ["dsd", "dds", "sdd", "ssd", "sds", "dss", "extract_blocks"]
+__all__ = ["dsd", "dds", "sdd", "ssd", "sds", "dss", "sss", "extract_blocks"]
 
 
 def _op(x: jax.Array, t: bool) -> jax.Array:
@@ -68,3 +68,11 @@ def dss(a: BlockSparseMatrix, b: BlockSparseMatrix, *, transpose_a=False, transp
         _op(bsr_to_dense(b), transpose_b),
         out_dtype,
     )
+
+
+def sss(a: BlockSparseMatrix, b: BlockSparseMatrix, topology: BlockSparseMatrix,
+        *, transpose_a=False, transpose_b=False, out_dtype=None, **_):
+    out_dtype = out_dtype or topology.dtype
+    full = dss(a, b, transpose_a=transpose_a, transpose_b=transpose_b,
+               out_dtype=out_dtype)
+    return topology.with_data(extract_blocks(full, topology))

@@ -9,6 +9,7 @@ from sputnik_tpu.ops.matmul import (
     matmul_ssd,
     matmul_sds,
     matmul_dss,
+    matmul_sss,
     FlatSchedule,
     plan_ssd,
     plan_sds,
@@ -60,6 +61,7 @@ __all__ = [
     "matmul_ssd",
     "matmul_sds",
     "matmul_dss",
+    "matmul_sss",
     "dsd",
     "dds",
     "sdd",

@@ -800,6 +800,64 @@ def matmul_dss(
 
 
 # ---------------------------------------------------------------------------
+# SSS: sparse = sparse @ sparse — BEYOND the reference's surface. The
+# reference rejects this operand combination outright (no block/sss
+# directory; its dispatcher covers six ops). Here the DSS engine computes
+# the product through its own registry (exact flat merge via plan_dss, the
+# on-device worklist under jit, or the densify detour by density — incl.
+# the small-block paths) and the output topology's blocks are gathered in
+# one fused XLA pass.
+# ---------------------------------------------------------------------------
+
+
+def _sss_via_dss(a, b, topology, *, transpose_a=False, transpose_b=False,
+                 out_dtype=None, **options):
+    out_dtype = out_dtype or topology.dtype
+    full = matmul_dss(a, b, transpose_a=transpose_a, transpose_b=transpose_b,
+                      out_dtype=out_dtype, **options)
+    return topology.with_data(reference.extract_blocks(full, topology))
+
+
+def _sss_can(a, b, topology, transpose_a=False, transpose_b=False,
+             out_dtype=None, **kw):
+    m_dim = a.cols if transpose_a else a.rows
+    n_dim = b.rows if transpose_b else b.cols
+    return topology.rows == m_dim and topology.cols == n_dim
+
+
+registry.register("sss", "dss_extract", _sss_can, _sss_via_dss)
+registry.register("sss", "jnp_fallback", lambda *a, **k: True, reference.sss)
+
+
+def matmul_sss(
+    a: BlockSparseMatrix,
+    b: BlockSparseMatrix,
+    topology: BlockSparseMatrix,
+    *,
+    transpose_a: bool = False,
+    transpose_b: bool = False,
+    out_dtype=None,
+    **options,
+) -> BlockSparseMatrix:
+    """C_sparse = op(A_sparse) @ op(B_sparse) masked to ``topology``.
+
+    No reference analogue — its dispatcher stops at six ops; this completes
+    the 2x2x2 operand/output sparsity cube."""
+    m_dim = a.cols if transpose_a else a.rows
+    n_dim = b.rows if transpose_b else b.cols
+    if (topology.rows, topology.cols) != (m_dim, n_dim):
+        raise ValueError(
+            f"topology is {topology.rows}x{topology.cols}, product is "
+            f"{m_dim}x{n_dim}"
+        )
+    return registry.dispatch(
+        "sss", a, b, topology,
+        transpose_a=transpose_a, transpose_b=transpose_b,
+        out_dtype=out_dtype, **options,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Generic entry point
 # ---------------------------------------------------------------------------
 
@@ -820,7 +878,7 @@ def matmul(a, b, *, topology: BlockSparseMatrix | None = None, **kw):
             kw.get("out_dtype") or a.dtype
         )
     if a_sp and b_sp:
-        raise NotImplementedError("sparse = sparse @ sparse (SSS) has no reference analogue")
+        return matmul_sss(a, b, topology, **kw)
     if a_sp:
         return matmul_ssd(a, b, topology, **kw)
     if b_sp:

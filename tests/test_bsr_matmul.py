@@ -620,3 +620,37 @@ def test_dense_detour_dispatch(rng):
     assert registry.dispatch_name("sdd", b.T, b, topo) == "xla_dense_detour"
     dense_b = _mk_sparse(rng, 384, 256, 1.0, False)
     assert registry.dispatch_name("dds", b, dense_b) == "xla_dense_detour"
+
+
+@pytest.mark.parametrize("ta,tb", [(False, False), (True, True)])
+def test_sss(rng, ta, tb):
+    """SSS (sparse = sparse @ sparse, masked to a topology) — beyond the
+    reference's six-op surface; rides the DSS engine + block extract."""
+    from sputnik_tpu.kernels import reference as ref_kernels
+
+    m, k, n = 640, 384, 512
+    a_shape, b_shape = _dims(m, k, n, ta, tb)
+    a = _mk_sparse(rng, *a_shape, 0.3, True)
+    b = _mk_sparse(rng, *b_shape, 0.3, True)
+    topo = _mk_sparse(rng, m, n, 0.4, False)
+    out = ops.matmul_sss(a, b, topo, transpose_a=ta, transpose_b=tb)
+    full = testing.dense_oracle_matmul(
+        np.asarray(a.to_dense()), np.asarray(b.to_dense()),
+        transpose_a=ta, transpose_b=tb,
+    )
+    expected = np.asarray(
+        ref_kernels.extract_blocks(jnp.asarray(full.astype(np.float32)), topo)
+    )
+    np.testing.assert_allclose(np.asarray(out.data, np.float32), expected,
+                               atol=ATOL)
+    # The generic entry point routes two sparse operands + topology here.
+    out2 = ops.matmul(a, b, topology=topo, transpose_a=ta, transpose_b=tb)
+    np.testing.assert_allclose(np.asarray(out2.data), np.asarray(out.data))
+
+
+def test_sss_shape_validation(rng):
+    a = _mk_sparse(rng, 640, 384, 0.3, False)
+    b = _mk_sparse(rng, 384, 512, 0.3, False)
+    bad = _mk_sparse(rng, 640, 384, 0.3, False)
+    with pytest.raises(ValueError, match="topology"):
+        ops.matmul_sss(a, b, bad)
