@@ -53,6 +53,10 @@ def dss(a, b, *, transpose_a=False, transpose_b=False, **opts):
     return _AD["dss"](a, b, transpose_a, transpose_b, _freeze(opts))
 
 
+def sss(a, b, topology, *, transpose_a=False, transpose_b=False, **opts):
+    return _AD["sss"](a, b, topology, transpose_a, transpose_b, _freeze(opts))
+
+
 __all__ = [
     "matmul",
     "matmul_dsd",

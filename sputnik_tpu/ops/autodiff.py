@@ -240,4 +240,36 @@ def make_differentiable(ops_module):
 
     dss.defvjp(dss_fwd, dss_bwd)
 
-    return {"dsd": dsd, "dds": dds, "sdd": sdd, "ssd": ssd, "sds": sds, "dss": dss}
+    # ---------------- sss (beyond the reference's six) ----------------
+    # C_s = mask_T(op(A_s) op(B_s)): both cotangent products are again
+    # sparse x sparse masked to the operand's own topology — SSS closes
+    # under differentiation with ITSELF.
+    raw_sss = ops_module.matmul_sss
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+    def sss(a, b, topology, ta, tb, opts):
+        return raw_sss(a, b, topology, transpose_a=ta, transpose_b=tb, **dict(opts))
+
+    def sss_fwd(a, b, topology, ta, tb, opts):
+        return sss(a, b, topology, ta, tb, opts), (a, b, topology)
+
+    def sss_bwd(ta, tb, opts, res, g):
+        a, b, topology = res
+        gs = _restore(g, topology)
+        # d op(A) = g_s @ op(B)^T masked to A topology
+        if not ta:
+            da = raw_sss(gs, b, a, transpose_a=False, transpose_b=not tb)
+        else:
+            da = raw_sss(b, gs, a, transpose_a=tb, transpose_b=True)
+        # d op(B) = op(A)^T @ g_s masked to B topology
+        if not tb:
+            db = raw_sss(a, gs, b, transpose_a=not ta, transpose_b=False)
+        else:
+            db = raw_sss(gs, a, b, transpose_a=True, transpose_b=ta)
+        return (_bsr_cotangent(a, da.data), _bsr_cotangent(b, db.data),
+                _bsr_zero_cotangent(topology))
+
+    sss.defvjp(sss_fwd, sss_bwd)
+
+    return {"dsd": dsd, "dds": dds, "sdd": sdd, "ssd": ssd, "sds": sds,
+            "dss": dss, "sss": sss}

@@ -136,3 +136,42 @@ def test_ssd_dss_grads(rng):
     expected = np.asarray(reference.extract_blocks(gad, a))
     np.testing.assert_allclose(np.asarray(ga.data), expected, atol=1e-2, rtol=1e-2)
     np.testing.assert_allclose(np.asarray(gb), np.asarray(gbd), atol=1e-2, rtol=1e-2)
+
+
+@pytest.mark.parametrize("ta,tb", [(False, False), (True, True)])
+def test_sss_grads(rng, ta, tb):
+    """SSS closes under differentiation with itself: both operand grads are
+    sparse-sparse products masked to the operand's own topology."""
+    m, k, n = 256, 384, 256
+    a_shape = (k, m) if ta else (m, k)
+    b_shape = (n, k) if tb else (k, n)
+    a, a_dense = _mk(rng, *a_shape)
+    b, b_dense = _mk(rng, *b_shape)
+    topo, _ = _mk(rng, m, n)
+    wdata = jnp.asarray(
+        rng.standard_normal((topo.nnz_blocks, 128, 128)).astype(np.float32)
+    )
+
+    def loss(a_, b_):
+        out = ops.sss(a_, b_, topo, transpose_a=ta, transpose_b=tb)
+        return jnp.sum(out.data * wdata)
+
+    ga, gb = ops.grad(loss, argnums=(0, 1))(a, b)
+
+    w_dense = reference.dsd(topo.with_data(wdata), jnp.eye(n),
+                            out_dtype=jnp.float32)
+
+    def loss_ref(ad, bd):
+        lhs = ad.T if ta else ad
+        rhs = bd.T if tb else bd
+        return jnp.sum((lhs @ rhs) * w_dense)
+
+    gad, gbd = jax.grad(loss_ref, argnums=(0, 1))(
+        jnp.asarray(a_dense), jnp.asarray(b_dense)
+    )
+    np.testing.assert_allclose(
+        np.asarray(ga.data), np.asarray(reference.extract_blocks(gad, a)),
+        atol=1e-2, rtol=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(gb.data), np.asarray(reference.extract_blocks(gbd, b)),
+        atol=1e-2, rtol=1e-2)
