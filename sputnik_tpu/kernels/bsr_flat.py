@@ -690,3 +690,101 @@ def dss_flat(
         )
         out = jnp.where(mask, out, jnp.zeros([], out_dtype))
     return out
+
+
+def plan_sss(
+    a: BlockSparseMatrix,
+    b: BlockSparseMatrix,
+    topology: BlockSparseMatrix,
+    *,
+    transpose_a: bool = False,
+    transpose_b: bool = False,
+    group: int = DEFAULT_GROUP,
+) -> FlatSchedule:
+    """Exact schedule for sparse = sparse @ sparse (no reference analogue;
+    its IndexMerge stops at dense outputs, ``index_merge.h:90-227``).
+
+    For each topology block ``t = (m, n)`` the work items are the k-blocks
+    present in BOTH op(A) row ``m`` and op(B) column ``n`` — op(A)'s row
+    stream intersected against op(B)'s dense position map, fully
+    vectorized on the host. Output blocks with an empty intersection are
+    zeroed after the kernel (``unvisited_ids``)."""
+    a_offs, a_dep, a_data = _stream_np(a, transpose_a)
+    pos_b = _np(b.position_map(), "b.position_map")  # B data index or -1
+    if not transpose_b:
+        pos_kn = pos_b  # op(B) = B stored (K, N)
+    else:
+        pos_kn = pos_b.T  # op(B) = B^T: (k, n) block lives at B (n, k)
+    t_rows = _np(topology.row_indices, "topology.row_indices")
+    t_cols = _np(topology.indices, "topology.indices")
+    nnz_c = topology.nnz_blocks
+
+    counts = (a_offs[1:] - a_offs[:-1])[t_rows]
+    pos = _ragged_positions(a_offs[t_rows], counts)  # per-item A stream pos
+    item_out = np.repeat(np.arange(nnz_c, dtype=np.int64), counts)
+    ks = a_dep[pos]
+    b_pos = pos_kn[ks, t_cols[item_out]]
+    sel = b_pos >= 0
+    out_ids = item_out[sel].astype(np.int32)
+    a_ids = a_data[pos][sel].astype(np.int32)
+    b_ids = b_pos[sel].astype(np.int32)
+    visited = np.zeros((nnz_c,), bool)
+    visited[out_ids] = True
+    unvisited = np.nonzero(~visited)[0].astype(np.int32)
+    return _batch_items(
+        out_ids,
+        (b_ids, a_ids, np.zeros_like(out_ids)),  # dep = B blocks, data = A
+        group,
+        "sss",
+        int(out_ids.shape[0]),
+        unvisited,
+    )
+
+
+def sss_flat(
+    a: BlockSparseMatrix,
+    b: BlockSparseMatrix,
+    topology: BlockSparseMatrix,
+    *,
+    transpose_a: bool = False,
+    transpose_b: bool = False,
+    out_dtype=None,
+    schedule: FlatSchedule | None = None,
+    interpret: bool | None = None,
+    kcat: bool = False,
+    **_,
+) -> BlockSparseMatrix:
+    """C_sparse = op(A_sparse) @ op(B_sparse) masked to ``topology`` via the
+    exact intersection work list — compute and bytes proportional to the
+    REAL work, unlike the dense-product detour."""
+    interpret = use_interpret() if interpret is None else interpret
+    out_dtype = out_dtype or topology.dtype
+    bs = topology.block_size
+    if a.block_size != bs or b.block_size != bs:
+        raise ValueError(
+            f"block size mismatch: {a.block_size}/{b.block_size} vs {bs}")
+    nnz_c = topology.nnz_blocks
+    if schedule is None:
+        schedule = plan_sss(a, b, topology, transpose_a=transpose_a,
+                            transpose_b=transpose_b)
+    if schedule.kind != "sss":
+        raise ValueError(f"schedule kind {schedule.kind!r} != 'sss'")
+    if nnz_c == 0 or schedule.n_steps == 0:
+        return topology.with_data(jnp.zeros((nnz_c, bs, bs), out_dtype))
+    data = _flat_call(
+        schedule=schedule,
+        stream_data=a.data,
+        panel_operand=b.data,
+        panel_index=None,
+        out_shape=jax.ShapeDtypeStruct((nnz_c, bs, bs), out_dtype),
+        out_block=(1, bs, bs),
+        out_index=lambda j, out, dep, dat, oth, fl, sl: (out[j], 0, 0),
+        dims=dot_dims(transpose_a, transpose_b),
+        block_first=True,
+        panel_is_block=True,
+        out_is_block=True,
+        bs=bs,
+        interpret=interpret,
+        kcat=kcat,
+    )
+    return topology.with_data(_zero_unvisited_blocks(data, schedule))

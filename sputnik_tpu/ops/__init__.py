@@ -14,6 +14,7 @@ from sputnik_tpu.ops.matmul import (
     plan_ssd,
     plan_sds,
     plan_dss,
+    plan_sss,
 )
 from sputnik_tpu.ops import registry
 from sputnik_tpu.ops.autodiff import make_differentiable, grad, value_and_grad

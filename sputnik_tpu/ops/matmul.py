@@ -35,6 +35,7 @@ from sputnik_tpu.kernels.bsr_flat import (  # re-exported planning API
     FlatSchedule,
     plan_dss,
     plan_sparse_out,
+    plan_sss,
 )
 from sputnik_tpu.ops import registry
 
@@ -45,11 +46,13 @@ __all__ = [
     "matmul_ssd",
     "matmul_sds",
     "matmul_dss",
+    "matmul_sss",
     "matmul",
     "FlatSchedule",
     "plan_ssd",
     "plan_sds",
     "plan_dss",
+    "plan_sss",
     "plan_sdd",
 ]
 
@@ -825,6 +828,32 @@ def _sss_can(a, b, topology, transpose_a=False, transpose_b=False,
     return topology.rows == m_dim and topology.cols == n_dim
 
 
+def _sss_flat_can(a, b, topology, transpose_a=False, transpose_b=False,
+                  out_dtype=None, schedule=None, **kw):
+    if not (_sss_can(a, b, topology, transpose_a=transpose_a,
+                     transpose_b=transpose_b)
+            and _pallas_ok(a, b, topology,
+                           dtypes=(a.dtype, b.dtype,
+                                   out_dtype or topology.dtype))):
+        return False
+    if schedule is not None:
+        return True
+    # Same crossover discipline as the other flat paths: below ~25%
+    # topology density the exact intersection beats the dense-product
+    # detour; plan on the fly only with concrete metadata.
+    return (
+        topology.density < 0.25
+        and _concrete(a.offsets, a.indices, b.offsets, b.indices,
+                      topology.row_indices, topology.indices)
+    )
+
+
+registry.register("sss", "pallas_flat_schedule", _sss_flat_can,
+                  bsr_flat.sss_flat)
+registry.register(
+    "sss", "pallas_flat_kcat", _sss_flat_can,
+    functools.partial(bsr_flat.sss_flat, kcat=True),
+)
 registry.register("sss", "dss_extract", _sss_can, _sss_via_dss)
 registry.register("sss", "jnp_fallback", lambda *a, **k: True, reference.sss)
 

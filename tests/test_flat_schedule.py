@@ -316,3 +316,65 @@ def test_dss_no_k_limit(rng):
         np.asarray(a.to_dense()), np.asarray(b.to_dense())
     )
     np.testing.assert_allclose(np.asarray(out, np.float32), expected, atol=ATOL)
+
+
+@pytest.mark.parametrize("ta,tb", [(False, False), (True, False),
+                                   (False, True), (True, True)])
+@pytest.mark.parametrize("kcat", [False, True])
+def test_sss_flat(rng, ta, tb, kcat):
+    """Exact SSS work list: per-topology-block intersection of op(A)'s row
+    stream against op(B)'s position map."""
+    from sputnik_tpu.kernels import reference as ref_kernels
+
+    m, k, n = 512, 384, 640
+    a_shape = (k, m) if ta else (m, k)
+    b_shape = (n, k) if tb else (k, n)
+    a = testing.random_bsr(rng, *a_shape, a_shape[0] * a_shape[1] // 4, 128,
+                           unordered=True)
+    b = testing.random_bsr(rng, *b_shape, b_shape[0] * b_shape[1] // 4, 128,
+                           unordered=True)
+    topo = testing.random_bsr(rng, m, n, m * n // 8, 128)
+    variant = "pallas_flat_kcat" if kcat else "pallas_flat_schedule"
+    out = ops.matmul_sss(a, b, topo, transpose_a=ta, transpose_b=tb,
+                         variant=variant)
+    full = testing.dense_oracle_matmul(
+        np.asarray(a.to_dense()), np.asarray(b.to_dense()),
+        transpose_a=ta, transpose_b=tb,
+    )
+    expected = np.asarray(
+        ref_kernels.extract_blocks(jnp.asarray(full.astype(np.float32)), topo)
+    )
+    np.testing.assert_allclose(np.asarray(out.data, np.float32), expected,
+                               atol=ATOL)
+    # Default dispatch at 12.5% topology density picks the exact flat path.
+    from sputnik_tpu.ops import registry
+    assert registry.dispatch_name(
+        "sss", a, b, topo, transpose_a=ta, transpose_b=tb
+    ) == "pallas_flat_schedule"
+
+
+def test_sss_plan_schedule_reuse(rng):
+    """plan_sss once, pass via schedule= (the MatmulEx discipline); work
+    item count equals the true intersection size."""
+    m = k = n = 512
+    a = testing.random_bsr(rng, m, k, m * k // 4, 128)
+    b = testing.random_bsr(rng, k, n, k * n // 4, 128)
+    topo = testing.random_bsr(rng, m, n, m * n // 8, 128)
+    sched = ops.plan_sss(a, b, topo)
+    pos_a = np.asarray(a.position_map()) >= 0
+    pos_b = np.asarray(b.position_map()) >= 0
+    expected_items = sum(
+        int((pos_a[r] & pos_b[:, c]).sum())
+        for r, c in zip(np.asarray(topo.row_indices), np.asarray(topo.indices))
+    )
+    assert sched.total == expected_items
+    out = ops.matmul_sss(a, b, topo, schedule=sched)
+    full = testing.dense_oracle_matmul(
+        np.asarray(a.to_dense()), np.asarray(b.to_dense())
+    )
+    from sputnik_tpu.kernels import reference as ref_kernels
+    expected = np.asarray(
+        ref_kernels.extract_blocks(jnp.asarray(full.astype(np.float32)), topo)
+    )
+    np.testing.assert_allclose(np.asarray(out.data, np.float32), expected,
+                               atol=ATOL)
