@@ -92,15 +92,22 @@ def audit(d: int = 2048, density: float = 0.25, dtype_name: str = "bfloat16",
             "bytes": bytes_moved,
             "vpu_elems": vpu,
             "bound": bound,
-            "frac_sol": sol / t,
             "timing": m["timing"],
         }
+        # Same convention as bench.grid: per-op times under ~3 us sit at
+        # the chained-trace noise floor — publish the fraction as
+        # unreliable, never as a (possibly impossible) frac_sol.
+        if t * 1e6 < 3.0:
+            row["frac_sol_unreliable"] = sol / t
+            row["note"] = "sub-3us: below the device-trace noise floor"
+        else:
+            row["frac_sol"] = sol / t
         # Empirical-roofline companion number: the same SoL model with the
         # MXU/HBM ceilings scaled to what this chip MEASURABLY sustains
         # (docs/machine_peak.json, written by bench.calibrate). frac_sol
         # stays the number of record (spec ceilings, comparable across
         # rounds); frac_achievable is the engineering-headroom view.
-        if measured:
+        if measured and "frac_sol" in row:
             sol_a = sol_time(
                 flops, bytes_moved,
                 peak_flops=peak_flops * measured["mxu_efficiency"],
@@ -132,6 +139,18 @@ def audit(d: int = 2048, density: float = 0.25, dtype_name: str = "bfloat16",
         dsd_f,
         dsd_by,
         perturb=0,
+    )
+    # Whole-B-resident DSD (explicit row beside the default dispatch): B is
+    # fetched ONCE through a constant-index BlockSpec, so the honest byte
+    # model is every operand moved once — no re-stream floor.
+    out_isz = isz
+    add(
+        "bsr_dsd(bres)",
+        lambda a_, b_: ops.matmul_dsd(a_, b_, variant="pallas_bres"),
+        (a, b),
+        dsd_f,
+        nnz * isz + d * d * isz + d * d * out_isz,
+        perturb=1,
     )
     # SDD: per output block, full K strips of A and B; one packed block out.
     sdd_f, sdd_by = sdd_model(
@@ -186,6 +205,25 @@ def audit(d: int = 2048, density: float = 0.25, dtype_name: str = "bfloat16",
         dss_by,
         perturb=0,
     )
+    # SSS (beyond the reference): exact intersection work list; the flat
+    # model's per-item accounting (one stream block + one (bs,bs) block in,
+    # each output block once) applies unchanged.
+    sss_topo = testing.random_bsr(rng, d, d, int(d * d * density / 2), 128,
+                                  dtype=dtype)
+    sss_sched = ops.plan_sss(a, topo, sss_topo)
+    if sss_sched.total:
+        sss_f, sss_by = sparse_out_flat_model(
+            total_items=sss_sched.total, nnz_out=sss_topo.nnz, isz=isz
+        )
+        add(
+            "bsr_sss",
+            lambda a_, b_: ops.matmul_sss(a_, b_, sss_topo,
+                                          schedule=sss_sched).data,
+            (a, topo),
+            sss_f,
+            sss_by,
+            perturb=0,
+        )
     sm_f, sm_by = softmax_model(nnz=nnz, isz=isz)
     add(
         "bsr_softmax",
@@ -367,9 +405,11 @@ def main():
         else:
             achv = (f"{r['frac_achievable']:.2f}"
                     if "frac_achievable" in r else "—")
+            frac = (f"{r['frac_sol']:.2f}" if "frac_sol" in r
+                    else f"({r['frac_sol_unreliable']:.2f})")
             print(
                 f"| {r['op']} | {r['time_us']:.0f} | {r['gflops']:.0f} | "
-                f"{r['bound']} | {r['frac_sol']:.2f} | {achv} | {r['timing']} |"
+                f"{r['bound']} | {frac} | {achv} | {r['timing']} |"
             )
     with open(args.out, "w") as f:
         json.dump(rows, f, indent=2)
