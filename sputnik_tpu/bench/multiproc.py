@@ -207,26 +207,51 @@ def main():
     ap.add_argument("--out", default="MULTIPROC.json")
     ap.add_argument("--timeout", type=int, default=1800)
     args = ap.parse_args()
-    port = 29100 + os.getpid() % 800
-    procs = []
-    for i in range(args.nproc):
-        env = dict(
-            os.environ,
-            _MP_PROC=str(i),
-            _MP_NPROC=str(args.nproc),
-            _MP_PORT=str(port),
-            _MP_OUT=(args.out if i == 0 else ""),
-        )
-        # Workers must re-exec this module so XLA_FLAGS lands before jax
-        # imports; stdout flows through for proc 0.
-        procs.append(subprocess.Popen(
-            [sys.executable, "-m", "sputnik_tpu.bench.multiproc"],
-            env=env,
-            stdout=None if i == 0 else subprocess.DEVNULL,
-            stderr=subprocess.STDOUT if i == 0 else subprocess.DEVNULL,
-        ))
-    codes = [p.wait(timeout=args.timeout) for p in procs]
+    import socket
+    import tempfile
+
+    # An OS-assigned free port avoids collisions between concurrent runs.
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    procs, logs = [], []
+    try:
+        for i in range(args.nproc):
+            env = dict(
+                os.environ,
+                _MP_PROC=str(i),
+                _MP_NPROC=str(args.nproc),
+                _MP_PORT=str(port),
+                _MP_OUT=(args.out if i == 0 else ""),
+            )
+            # Workers must re-exec this module so XLA_FLAGS lands before
+            # jax imports; proc 0's output flows through, the others' go
+            # to log files so a rank>0 crash stays diagnosable.
+            log = (None if i == 0 else
+                   tempfile.NamedTemporaryFile("w+", delete=False,
+                                               prefix=f"multiproc_r{i}_",
+                                               suffix=".log"))
+            logs.append(log)
+            procs.append(subprocess.Popen(
+                [sys.executable, "-m", "sputnik_tpu.bench.multiproc"],
+                env=env,
+                stdout=log if log else None,
+                stderr=subprocess.STDOUT,
+            ))
+        codes = [p.wait(timeout=args.timeout) for p in procs]
+    finally:
+        # A worker that died mid-collective leaves its siblings blocked in
+        # gloo: never leak them past the launcher.
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     if any(codes):
+        for i, log in enumerate(logs):
+            if log is not None:
+                log.flush()
+                log.seek(0)
+                tail = log.read()[-2000:]
+                print(f"--- rank {i} log tail ---\n{tail}", file=sys.stderr)
         raise SystemExit(f"multiproc validation FAILED: exit codes {codes}")
     print(f"ALL CASES OK across {args.nproc} processes")
 

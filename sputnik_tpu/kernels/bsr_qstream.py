@@ -125,6 +125,41 @@ def _plan(out_ids, dep_ids, data_ids, counts, q, *, concrete: bool):
     return to(out_q), to(dep_q), to(data_q), to(nv), n_steps
 
 
+def _step_partial(block_refs, get_panel, *, q, n_valid, dims, block_first,
+                  accum):
+    """The q slots' fp32 partial sum for one step — kcat: ONE dot of
+    contraction depth q*bs ([B0 B1] @ [P0; P1] = B0@P0 + B1@P1); value: q
+    summed dots. Padding slots (qi >= n_valid) repeat real data and are
+    masked by zeroing the cheap (bs, bs) block operand (shared by the
+    q-stream and the dense-resident kernels — the masking subtlety lives
+    in exactly one place)."""
+    blocks, panels = [], []
+    for qi in range(q):
+        block = block_refs[qi][0]
+        if q > 1:
+            live = (qi < n_valid).astype(block.dtype)
+            block = block * live
+        blocks.append(block)
+        panels.append(get_panel(qi))
+    if accum == "kcat":
+        lhs_parts, rhs_parts = (
+            (blocks, panels) if block_first else (panels, blocks)
+        )
+        lhs = jnp.concatenate(lhs_parts, axis=dims[0][0][0])
+        rhs = jnp.concatenate(rhs_parts, axis=dims[0][1][0])
+        return jax.lax.dot_general(
+            lhs, rhs, dims, preferred_element_type=jnp.float32
+        )
+    part = None
+    for block, panel in zip(blocks, panels):
+        lhs, rhs = (block, panel) if block_first else (panel, block)
+        d = jax.lax.dot_general(
+            lhs, rhs, dims, preferred_element_type=jnp.float32
+        )
+        part = d if part is None else part + d
+    return part
+
+
 def _qstream_kernel(
     out_q, dep_q, data_q, nv,  # scalar prefetch
     *refs,  # q block refs, q panel refs, out_ref, acc_ref
@@ -146,38 +181,11 @@ def _qstream_kernel(
 
     n_valid = nv[j]
     if accum in ("value", "kcat"):
-        # One accumulator RMW per STEP. Padding slots (qi >= n_valid) repeat
-        # real data, so they are masked by zeroing the (cheap, bs x bs)
-        # block operand.
-        blocks, panels = [], []
-        for qi in range(q):
-            block = refs[qi][0]
-            if q > 1:
-                live = (qi < n_valid).astype(block.dtype)
-                block = block * live
-            blocks.append(block)
-            panels.append(refs[q + qi][:])
-        if accum == "kcat":
-            # ONE dot of contraction depth q*bs: concatenating along the
-            # contracted axes makes [B0 B1] @ [P0; P1] == B0@P0 + B1@P1.
-            # Targets the measured per-dot MXU cost at k=128 (the 0.72-of-
-            # peak floor every schedule converges to, docs/PERFORMANCE.md).
-            lhs_parts, rhs_parts = (
-                (blocks, panels) if block_first else (panels, blocks)
-            )
-            lhs = jnp.concatenate(lhs_parts, axis=dims[0][0][0])
-            rhs = jnp.concatenate(rhs_parts, axis=dims[0][1][0])
-            part = jax.lax.dot_general(
-                lhs, rhs, dims, preferred_element_type=jnp.float32
-            )
-        else:
-            part = None
-            for block, panel in zip(blocks, panels):
-                lhs, rhs = (block, panel) if block_first else (panel, block)
-                d = jax.lax.dot_general(
-                    lhs, rhs, dims, preferred_element_type=jnp.float32
-                )
-                part = d if part is None else part + d
+        # One accumulator RMW per STEP.
+        part = _step_partial(
+            refs[:q], lambda qi: refs[q + qi][:], q=q, n_valid=n_valid,
+            dims=dims, block_first=block_first, accum=accum,
+        )
 
         @pl.when(is_first)
         def _():
@@ -469,31 +477,10 @@ def _bres_kernel(
     is_last = jnp.logical_or(j == n_steps - 1, nxt != cur)
 
     n_valid = nv[j]
-    blocks, panels = [], []
-    for qi in range(q):
-        block = refs[qi][0]
-        if q > 1:
-            live = (qi < n_valid).astype(block.dtype)
-            block = block * live
-        blocks.append(block)
-        panels.append(dense_ref[dep_q[base + qi]])
-    if accum == "kcat":
-        lhs_parts, rhs_parts = (
-            (blocks, panels) if block_first else (panels, blocks)
-        )
-        lhs = jnp.concatenate(lhs_parts, axis=dims[0][0][0])
-        rhs = jnp.concatenate(rhs_parts, axis=dims[0][1][0])
-        part = jax.lax.dot_general(
-            lhs, rhs, dims, preferred_element_type=jnp.float32
-        )
-    else:
-        part = None
-        for block, panel in zip(blocks, panels):
-            lhs, rhs = (block, panel) if block_first else (panel, block)
-            d = jax.lax.dot_general(
-                lhs, rhs, dims, preferred_element_type=jnp.float32
-            )
-            part = d if part is None else part + d
+    part = _step_partial(
+        refs[:q], lambda qi: dense_ref[dep_q[base + qi]], q=q,
+        n_valid=n_valid, dims=dims, block_first=block_first, accum=accum,
+    )
 
     @pl.when(is_first)
     def _():

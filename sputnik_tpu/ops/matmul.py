@@ -133,10 +133,13 @@ def _dsd_cres_can(a, b, transpose_a=False, transpose_b=False, out_dtype=None, **
 
 
 def _dsd_densify_can(a, b, transpose_a=False, transpose_b=False,
-                     out_dtype=None, **kw):
+                     out_dtype=None, schedule=None, plan=None, **kw):
     """Near-dense sparse operand: densify + one XLA dot beats the stream
-    kernels (<= 20% MXU work saved at ~0.6-0.7 relative efficiency)."""
-    return a.density >= via_dense.DENSIFY_THRESHOLD
+    kernels (<= 20% MXU work saved at ~0.6-0.7 relative efficiency).
+    An explicit schedule/plan is a caller's opt-in to a planned kernel —
+    never swallow it."""
+    return (schedule is None and plan is None
+            and a.density >= via_dense.DENSIFY_THRESHOLD)
 
 
 registry.register("dsd", "xla_dense_detour", _dsd_densify_can, reference.dsd)
@@ -341,8 +344,9 @@ def _dds_stream_at(a, b, transpose_a=False, transpose_b=False, **kw):
 # natural-order blocks + once-fetched A strips beat the tile-stationary
 # schedule on the mirror side (where streaming pays strided panels).
 def _dds_densify_can(a, b, transpose_a=False, transpose_b=False,
-                     out_dtype=None, **kw):
-    return b.density >= via_dense.DENSIFY_THRESHOLD
+                     out_dtype=None, schedule=None, plan=None, **kw):
+    return (schedule is None and plan is None
+            and b.density >= via_dense.DENSIFY_THRESHOLD)
 
 
 registry.register("dds", "xla_dense_detour", _dds_densify_can, reference.dds)
@@ -466,8 +470,9 @@ def plan_sdd(topology: BlockSparseMatrix, k_dim: int, *, itemsize: int = 2):
 
 
 def _sdd_densify_can(a, b, topology, transpose_a=False, transpose_b=False,
-                     out_dtype=None, **kw):
-    return topology.density >= via_dense.DENSIFY_THRESHOLD
+                     out_dtype=None, schedule=None, plan=None, **kw):
+    return (schedule is None and plan is None
+            and topology.density >= via_dense.DENSIFY_THRESHOLD)
 
 
 registry.register("sdd", "xla_dense_detour", _sdd_densify_can, reference.sdd)
@@ -755,25 +760,20 @@ registry.register("dss", "pallas_masked_stream", _dss_can, bsr_dss.dss)
 def _dss_small_can(a, b, transpose_a=False, transpose_b=False,
                    out_dtype=None, schedule=None, **kw):
     """Small-block DSS: densify the smaller side (a static nnz choice, like
-    ``via_dense.dss``), run the packed small-block kernel on the other."""
+    ``via_dense.dss``), run the packed small-block kernel on the other.
+    Kernel-side conditions delegate to the packed predicates (a
+    BlockSparseMatrix exposes ``.shape``, so the dense-operand dimension
+    checks read through unchanged)."""
     if (schedule is not None or a.block_size != b.block_size
             or a.block_size not in (16, 32, 64)):
         return False
-    if not all(
-        jnp.dtype(dt) in (jnp.dtype(d) for d in _PALLAS_DTYPES)
-        for dt in (a.dtype, b.dtype, out_dtype or a.dtype)
-    ):
-        return False
-    k_dim = a.rows if transpose_a else a.cols
-    if k_dim % a.block_size != 0:
-        return False
     if a.nnz <= b.nnz:  # densify a; b rides dds_smallblock
-        m_dim = a.cols if transpose_a else a.rows
-        return (b.nnz_blocks > 0 and m_dim % 128 == 0
-                and _concrete(b.offsets, b.indices))
-    n_dim = b.rows if transpose_b else b.cols  # densify b; a rides dsd
-    return (a.nnz_blocks > 0 and n_dim % 128 == 0
-            and _concrete(a.offsets, a.indices))
+        return _dds_small_can(a, b, transpose_a=transpose_a,
+                              transpose_b=transpose_b,
+                              out_dtype=out_dtype or a.dtype)
+    return _dsd_small_can(a, b, transpose_a=transpose_a,  # densify b
+                          transpose_b=transpose_b,
+                          out_dtype=out_dtype or a.dtype)
 
 
 registry.register("dss", "pallas_smallblock", _dss_small_can,
@@ -832,6 +832,7 @@ def _sss_flat_can(a, b, topology, transpose_a=False, transpose_b=False,
                   out_dtype=None, schedule=None, **kw):
     if not (_sss_can(a, b, topology, transpose_a=transpose_a,
                      transpose_b=transpose_b)
+            and a.block_size == b.block_size == topology.block_size
             and _pallas_ok(a, b, topology,
                            dtypes=(a.dtype, b.dtype,
                                    out_dtype or topology.dtype))):
@@ -873,7 +874,13 @@ def matmul_sss(
     No reference analogue — its dispatcher stops at six ops; this completes
     the 2x2x2 operand/output sparsity cube."""
     m_dim = a.cols if transpose_a else a.rows
+    k_a = a.rows if transpose_a else a.cols
+    k_b = b.cols if transpose_b else b.rows
     n_dim = b.rows if transpose_b else b.cols
+    if k_a != k_b:
+        raise ValueError(
+            f"contraction mismatch: op(A) gives k={k_a}, op(B) gives {k_b}"
+        )
     if (topology.rows, topology.cols) != (m_dim, n_dim):
         raise ValueError(
             f"topology is {topology.rows}x{topology.cols}, product is "

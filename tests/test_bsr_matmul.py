@@ -617,7 +617,8 @@ def test_dense_detour_dispatch(rng):
            testing.dense_oracle_matmul(np.asarray(dense_a.to_dense()),
                                        np.asarray(b)))
     topo = _mk_sparse(rng, 512, 256, 1.0, False)
-    assert registry.dispatch_name("sdd", b.T, b, topo) == "xla_dense_detour"
+    x = jnp.asarray(rng.standard_normal((512, 384)).astype(np.float32))
+    assert registry.dispatch_name("sdd", x, b, topo) == "xla_dense_detour"
     dense_b = _mk_sparse(rng, 384, 256, 1.0, False)
     assert registry.dispatch_name("dds", b, dense_b) == "xla_dense_detour"
 
@@ -654,3 +655,43 @@ def test_sss_shape_validation(rng):
     bad = _mk_sparse(rng, 640, 384, 0.3, False)
     with pytest.raises(ValueError, match="topology"):
         ops.matmul_sss(a, b, bad)
+
+
+def test_dense_detour_respects_explicit_plans(rng):
+    """A caller's pre-planned schedule/plan (the MatmulEx discipline) is an
+    opt-in the densify detour must never swallow."""
+    from sputnik_tpu.ops.matmul import (
+        _dds_densify_can, _dsd_densify_can, _sdd_densify_can,
+    )
+
+    dense_a = _mk_sparse(rng, 512, 384, 1.0, False)
+    b = jnp.ones((384, 256), jnp.float32)
+    assert _dsd_densify_can(dense_a, b)
+    assert not _dsd_densify_can(dense_a, b, plan=object())
+    assert not _dsd_densify_can(dense_a, b, schedule=object())
+    assert not _dds_densify_can(b, dense_a, schedule=object())
+    topo = _mk_sparse(rng, 256, 384, 1.0, False)
+    assert not _sdd_densify_can(b.T, b, topo, schedule=object())
+
+
+def test_sss_blocksize_and_contraction_gates(rng):
+    """Mixed block sizes fall through to the dss_extract variant (the flat
+    kernel's can rejects them); a k mismatch raises at the front door."""
+    from sputnik_tpu.ops import registry
+
+    m, k, n = 512, 384, 512
+    a = _mk_sparse(rng, m, k, 0.3, False)
+    b = _mk_sparse(rng, k, n, 0.3, False)
+    topo256 = testing.random_bsr(rng, m, n, m * n // 8, 256)
+    assert registry.dispatch_name("sss", a, b, topo256) == "dss_extract"
+    out = ops.matmul_sss(a, b, topo256)
+    full = testing.dense_oracle_matmul(
+        np.asarray(a.to_dense()), np.asarray(b.to_dense())
+    )
+    expected = np.asarray(
+        reference.extract_blocks(jnp.asarray(full.astype(np.float32)), topo256)
+    )
+    _check(out.data, expected)
+    bad_b = _mk_sparse(rng, 512, n, 0.3, False)  # k=512 != 384
+    with pytest.raises(ValueError, match="contraction"):
+        ops.matmul_sss(a, bad_b, topo256)
