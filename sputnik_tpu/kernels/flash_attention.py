@@ -156,15 +156,16 @@ def _kernel(
 _GROUP = 4
 
 
-def _plan(topology: BlockSparseMatrix):
+def _plan(topology: BlockSparseMatrix, group: int = None):
     """(step rows, sub-item cols, flags, group, n_steps) — batched when the
     metadata is concrete, one item per step when traced."""
+    group = _GROUP if group is None else group
     ri, ci = topology.row_indices, topology.indices
     if not (isinstance(ri, jax.core.Tracer) or isinstance(ci, jax.core.Tracer)):
         sched = _batch_items(
             np.asarray(ri),
             (np.asarray(ci), np.asarray(ci), np.asarray(ci)),
-            _GROUP,
+            group,
             "ssd",
             topology.nnz_blocks,
             (),
@@ -176,10 +177,10 @@ def _plan(topology: BlockSparseMatrix):
 
 
 def _forward(q, k, v, topology: BlockSparseMatrix, scale, causal, interpret,
-             with_lse: bool = False):
+             with_lse: bool = False, group: int = None):
     bs = topology.block_size
     t, dh = q.shape
-    rows, cols, flags, group, n_steps = _plan(topology)
+    rows, cols, flags, group, n_steps = _plan(topology, group)
 
     def k_map(g):
         return lambda j, rows_, cols_, fl_: (cols_[j * group + g], 0)
@@ -805,8 +806,13 @@ def flash_block_attention(
     causal: bool = False,
     scale: Optional[float] = None,
     fused_backward: bool = True,
+    group: int = None,
 ) -> jax.Array:
     """Fused single-head block-sparse attention (O(T * dh) memory).
+
+    ``group`` sets the k/v blocks folded per strip step (default 4; wider
+    strips amortize the per-step softmax bookkeeping at the cost of
+    group-padding duplicates on ragged rows).
 
     Semantics match ``models.attention.block_sparse_attention`` (absent
     blocks = -inf; stored zero blocks participate only as pattern).
@@ -832,14 +838,15 @@ def flash_block_attention(
 
     @jax.custom_vjp
     def _flash(q_, k_, v_):
-        return _forward(q_, k_, v_, topology, scale, causal, use_interpret())
+        return _forward(q_, k_, v_, topology, scale, causal, use_interpret(),
+                        group=group)
 
     if fused_backward:
 
         def _fwd(q_, k_, v_):
             out, lse = _forward(
                 q_, k_, v_, topology, scale, causal, use_interpret(),
-                with_lse=True,
+                with_lse=True, group=group,
             )
             return out, (q_, k_, v_, out, lse)
 

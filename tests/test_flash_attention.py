@@ -301,3 +301,19 @@ def test_flash_mha_empty_row_pair(rng):
         np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=5e-3
     )
     assert np.abs(np.asarray(out)[0, 128:384]).max() == 0.0
+
+
+@pytest.mark.parametrize("group", [2, 8])
+def test_flash_strip_group_parameter(rng, group):
+    """Wider/narrower k/v strip groups change only the schedule, never the
+    result (padding duplicates are masked)."""
+    seq, dh = 512, 64
+    topo = testing.random_bsr(rng, seq, seq, seq * seq // 3, 128)
+    q = jnp.asarray(rng.standard_normal((seq, dh)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((seq, dh)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((seq, dh)).astype(np.float32))
+    base = flash_block_attention(q, k, v, topo, causal=True)
+    out = flash_block_attention(q, k, v, topo, causal=True, group=group)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(base, np.float32),
+                               atol=1e-5, rtol=1e-5)
