@@ -364,6 +364,7 @@ def dsd_q(
         out_dtype=out_dtype,
         interpret=interpret,
         accum=accum,
+        panel_mode="lane" if transpose_b else "major",
     )
     return _mask_empty_groups(out, group_offsets, bs, axis=0, min_hint=min_hint)
 
@@ -429,6 +430,7 @@ def dds_q(
         out_dtype=out_dtype,
         interpret=interpret,
         accum=accum,
+        panel_mode="major" if transpose_a else "lane",
     )
     return _mask_empty_groups(out, group_offsets, bs, axis=1, min_hint=min_hint)
 
@@ -462,9 +464,14 @@ def _bres_kernel(
     *refs,  # q block refs, dense_ref, out_ref, acc_ref
     n_steps: int,
     q: int,
+    bs: int,
     dims,
     block_first: bool,
     accum: str,
+    panel_mode: str,  # "major": dense_ref[(kb, bs, w)][dep]; "lane":
+    #                   dense_ref[(w, k)][:, dep*bs : +bs] (128-aligned
+    #                   dynamic lane offset — viability measured by
+    #                   /tmp-probe before any registration relies on it)
 ):
     dense_ref = refs[q]
     out_ref, acc_ref = refs[q + 1], refs[q + 2]
@@ -476,9 +483,13 @@ def _bres_kernel(
     is_first = jnp.logical_or(base == 0, prev != cur)
     is_last = jnp.logical_or(j == n_steps - 1, nxt != cur)
 
+    if panel_mode == "major":
+        get_panel = lambda qi: dense_ref[dep_q[base + qi]]
+    else:
+        get_panel = lambda qi: dense_ref[:, pl.ds(dep_q[base + qi] * bs, bs)]
     n_valid = nv[j]
     part = _step_partial(
-        refs[:q], lambda qi: dense_ref[dep_q[base + qi]], q=q,
+        refs[:q], get_panel, q=q,
         n_valid=n_valid, dims=dims, block_first=block_first, accum=accum,
     )
 
@@ -502,7 +513,8 @@ def _bres_call(
     dep_ids,
     data_ids,
     counts,
-    dense_kmaj,  # (k_blocks, bs, width): the K-major-reshaped dense operand
+    dense_res,  # "major": (k_blocks, bs, width) K-major reshape; "lane":
+    #             the raw (width, k) array, panels dynamic-lane-sliced
     out_rows: int,
     out_cols: int,
     out_block,
@@ -513,6 +525,7 @@ def _bres_call(
     out_dtype,
     interpret: bool,
     accum: str = "kcat",
+    panel_mode: str = "major",
 ):
     bs = sparse_data.shape[-1]
     concrete = not any(
@@ -534,7 +547,8 @@ def _bres_call(
         )
 
     dense_spec = pl.BlockSpec(
-        dense_kmaj.shape, lambda j, out_q, dep_q, data_q, nv: (0, 0, 0)
+        dense_res.shape,
+        (lambda j, out_q, dep_q, data_q, nv: (0,) * dense_res.ndim),
     )
     if out_is_row:
         out_index = lambda j, out_q, dep_q, data_q, nv: (out_q[j * q], 0)
@@ -542,8 +556,8 @@ def _bres_call(
         out_index = lambda j, out_q, dep_q, data_q, nv: (0, out_q[j * q])
 
     kernel = functools.partial(
-        _bres_kernel, n_steps=n_steps, q=q, dims=dims,
-        block_first=block_first, accum=accum,
+        _bres_kernel, n_steps=n_steps, q=q, bs=bs, dims=dims,
+        block_first=block_first, accum=accum, panel_mode=panel_mode,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -552,10 +566,10 @@ def _bres_call(
         out_specs=pl.BlockSpec(out_block, out_index),
         scratch_shapes=[pltpu.VMEM(out_block, jnp.float32)],
     )
-    isz = jnp.dtype(dense_kmaj.dtype).itemsize
+    isz = jnp.dtype(dense_res.dtype).itemsize
     vmem_limit = min(
         120 << 20,
-        int(np.prod(dense_kmaj.shape)) * isz
+        int(np.prod(dense_res.shape)) * isz
         + 2 * q * bs * bs * sparse_data.dtype.itemsize
         + 12 * out_block[0] * out_block[1]
         + (8 << 20),
@@ -568,7 +582,7 @@ def _bres_call(
             ("arbitrary",), vmem_limit_bytes=vmem_limit
         ),
         interpret=interpret,
-    )(out_q, dep_q, data_q, nv, *([sparse_data] * q), dense_kmaj)
+    )(out_q, dep_q, data_q, nv, *([sparse_data] * q), dense_res)
 
 
 # The dense operand must fit in VMEM next to the accumulator, the output
@@ -587,19 +601,20 @@ def dsd_bres(
     accum: str = "kcat",
     interpret: bool | None = None,
 ) -> jax.Array:
-    """C = op(A_sparse) @ B with the WHOLE of B VMEM-resident (fetched
-    once). Requires ``transpose_b=False`` (B stored K-major) and
-    ``B.nbytes <= BRES_MAX_DENSE_BYTES``."""
-    if transpose_b:
-        raise ValueError("dsd_bres requires transpose_b=False (K-major B)")
+    """C = op(A_sparse) @ op(B) with the WHOLE of B VMEM-resident (fetched
+    once); ``B.nbytes <= BRES_MAX_DENSE_BYTES``. K-major B
+    (transpose_b=False) reads contraction panels by a major-dim dynamic
+    index; transposed B falls back to 128-aligned dynamic LANE slices
+    ("lane" mode — registry-gated until the probe proves the lowering)."""
     interpret = use_interpret() if interpret is None else interpret
     out_dtype = out_dtype or a.dtype
     bs = a.block_size
     m_dim = a.cols if transpose_a else a.rows
     k_dim = a.rows if transpose_a else a.cols
-    if b.shape[0] != k_dim:
-        raise ValueError(f"contraction mismatch: A gives k={k_dim}, B gives {b.shape[0]}")
-    n_dim = b.shape[1]
+    bk = b.shape[1] if transpose_b else b.shape[0]
+    if bk != k_dim:
+        raise ValueError(f"contraction mismatch: A gives k={k_dim}, B gives {bk}")
+    n_dim = b.shape[0] if transpose_b else b.shape[1]
     if a.nnz_blocks == 0:
         return jnp.zeros((m_dim, n_dim), out_dtype)
     out_ids, dep_ids, data_ids = a.iteration_arrays(transposed=transpose_a)
@@ -614,17 +629,18 @@ def dsd_bres(
         dep_ids=dep_ids,
         data_ids=data_ids,
         counts=counts,
-        dense_kmaj=b.reshape(k_dim // bs, bs, n_dim),
+        dense_res=(b if transpose_b else b.reshape(k_dim // bs, bs, n_dim)),
         out_rows=m_dim,
         out_cols=n_dim,
         out_block=(bs, n_dim),
         out_is_row=True,
         q=q,
-        dims=dot_dims(transpose_a, False),
+        dims=dot_dims(transpose_a, transpose_b),
         block_first=True,
         out_dtype=out_dtype,
         interpret=interpret,
         accum=accum,
+        panel_mode="lane" if transpose_b else "major",
     )
     return _mask_empty_groups(out, group_offsets, bs, axis=0, min_hint=min_hint)
 
@@ -641,17 +657,17 @@ def dds_bres(
     interpret: bool | None = None,
 ) -> jax.Array:
     """C = op(A) @ op(B_sparse) with the WHOLE of A VMEM-resident.
-    Requires ``transpose_a=True`` (A stored K-major)."""
-    if not transpose_a:
-        raise ValueError("dds_bres requires transpose_a=True (K-major A)")
+    K-major A (transpose_a=True) uses major-dim panel reads; natural A
+    falls back to dynamic LANE slices ("lane" mode, probe-gated)."""
     interpret = use_interpret() if interpret is None else interpret
     out_dtype = out_dtype or b.dtype
     bs = b.block_size
     n_dim = b.rows if transpose_b else b.cols
     k_dim = b.cols if transpose_b else b.rows
-    if a.shape[0] != k_dim:
-        raise ValueError(f"contraction mismatch: B gives k={k_dim}, A gives {a.shape[0]}")
-    m_dim = a.shape[1]
+    ak = a.shape[0] if transpose_a else a.shape[1]
+    if ak != k_dim:
+        raise ValueError(f"contraction mismatch: B gives k={k_dim}, A gives {ak}")
+    m_dim = a.shape[1] if transpose_a else a.shape[0]
     if b.nnz_blocks == 0:
         return jnp.zeros((m_dim, n_dim), out_dtype)
     out_ids, dep_ids, data_ids = b.iteration_arrays(transposed=not transpose_b)
@@ -666,16 +682,17 @@ def dds_bres(
         dep_ids=dep_ids,
         data_ids=data_ids,
         counts=counts,
-        dense_kmaj=a.reshape(k_dim // bs, bs, m_dim),
+        dense_res=(a.reshape(k_dim // bs, bs, m_dim) if transpose_a else a),
         out_rows=m_dim,
         out_cols=n_dim,
         out_block=(m_dim, bs),
         out_is_row=False,
         q=q,
-        dims=dot_dims(True, transpose_b),
+        dims=dot_dims(transpose_a, transpose_b),
         block_first=False,
         out_dtype=out_dtype,
         interpret=interpret,
         accum=accum,
+        panel_mode="major" if transpose_a else "lane",
     )
     return _mask_empty_groups(out, group_offsets, bs, axis=1, min_hint=min_hint)

@@ -695,3 +695,36 @@ def test_sss_blocksize_and_contraction_gates(rng):
     bad_b = _mk_sparse(rng, 512, n, 0.3, False)  # k=512 != 384
     with pytest.raises(ValueError, match="contraction"):
         ops.matmul_sss(a, bad_b, topo256)
+
+
+@pytest.mark.parametrize("ta", [False, True])
+def test_bres_lane_mode_dsd_nt(rng, ta):
+    """Transposed-B bres: contraction panels read by 128-aligned dynamic
+    LANE slices from the resident operand (probe-gated on real hardware;
+    interpret mode proves the semantics)."""
+    m, k, n = 640, 384, 512
+    a_shape, _ = _dims(m, k, n, ta, True)
+    a = _mk_sparse(rng, *a_shape, 0.3, True)
+    b = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32))
+    from sputnik_tpu.kernels.bsr_qstream import dsd_bres
+    out = dsd_bres(a, b, transpose_a=ta, transpose_b=True, q=4)
+    expected = testing.dense_oracle_matmul(
+        np.asarray(a.to_dense()), np.asarray(b), transpose_a=ta,
+        transpose_b=True,
+    )
+    _check(out, expected)
+
+
+@pytest.mark.parametrize("tb", [False, True])
+def test_bres_lane_mode_dds_nn(rng, tb):
+    """Natural-A bres mirror through lane slices."""
+    m, k, n = 512, 384, 640
+    _, b_shape = _dims(m, k, n, False, tb)
+    ad = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32))
+    bsp = _mk_sparse(rng, *b_shape, 0.3, True)
+    from sputnik_tpu.kernels.bsr_qstream import dds_bres
+    out = dds_bres(ad, bsp, transpose_a=False, transpose_b=tb, q=4)
+    expected = testing.dense_oracle_matmul(
+        np.asarray(ad), np.asarray(bsp.to_dense()), transpose_b=tb,
+    )
+    _check(out, expected)
