@@ -57,7 +57,7 @@ def main():
                             print(f"{op} d={d} density={density} {mode}: "
                                   f"{k:28s} {v*1e6:9.1f} us", flush=True)
                         win = autotune(op, *targs, transpose_a=ta,
-                                       transpose_b=tb)
+                                       transpose_b=tb, timings=times)
                         print(f"{op} d={d} density={density} {mode} "
                               f"WINNER {win}", flush=True)
                     except Exception as e:

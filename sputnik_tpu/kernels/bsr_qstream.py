@@ -364,7 +364,6 @@ def dsd_q(
         out_dtype=out_dtype,
         interpret=interpret,
         accum=accum,
-        panel_mode="lane" if transpose_b else "major",
     )
     return _mask_empty_groups(out, group_offsets, bs, axis=0, min_hint=min_hint)
 
@@ -430,7 +429,6 @@ def dds_q(
         out_dtype=out_dtype,
         interpret=interpret,
         accum=accum,
-        panel_mode="major" if transpose_a else "lane",
     )
     return _mask_empty_groups(out, group_offsets, bs, axis=1, min_hint=min_hint)
 

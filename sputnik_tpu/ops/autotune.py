@@ -169,7 +169,22 @@ def benchmark_variants(op: str, *args, chain: int = 8, runs: int = 3, **kwargs):
     Returns {variant_name: seconds} (device time), skipping variants whose
     ``can_implement`` rejects the problem or whose launch fails.
     """
+    from sputnik_tpu.formats import BlockSparseMatrix
     from sputnik_tpu.utils.profiling import device_time
+
+    # device_time jits the launch, which would turn sparse METADATA into
+    # tracers and silently disqualify every host-planned variant (gres,
+    # panel, flat schedules) from tuning. Close over the concrete
+    # descriptors and pass only the data arrays through jit: planning sees
+    # concrete metadata, the timed computation still sees traced values.
+    datas, rebuilds = [], []
+    for x in args:
+        if isinstance(x, BlockSparseMatrix):
+            datas.append(x.data)
+            rebuilds.append(lambda d, x=x: x.with_data(d))
+        else:
+            datas.append(x)
+            rebuilds.append(lambda d: d)
 
     timings = {}
     for v in registry.variants_for(op):
@@ -180,25 +195,28 @@ def benchmark_variants(op: str, *args, chain: int = 8, runs: int = 3, **kwargs):
             continue
 
         def run(*a, _launch=v.launch):
-            out = _launch(*a, **kwargs)
+            out = _launch(*[rb(ai) for rb, ai in zip(rebuilds, a)], **kwargs)
             return getattr(out, "data", None) if hasattr(out, "data") else out
 
         try:
-            m = device_time(run, *args, chain=chain, runs=runs)
+            m = device_time(run, *datas, chain=chain, runs=runs)
             timings[v.name] = m["time_s"]
         except Exception:
             continue
     return timings
 
 
-def autotune(op: str, *args, **kwargs) -> str:
+def autotune(op: str, *args, timings: dict | None = None, **kwargs) -> str:
     """Best variant name for this problem (cached by chip + signature,
-    persisted to disk; subsequent dispatches pick it up automatically)."""
+    persisted to disk; subsequent dispatches pick it up automatically).
+    Pass ``timings`` (a ``benchmark_variants`` result) to persist a winner
+    without re-measuring."""
     cache = _load_cache()
     key = _signature(op, args, kwargs)
     if key in cache:
         return cache[key]
-    timings = benchmark_variants(op, *args, **kwargs)
+    if timings is None:
+        timings = benchmark_variants(op, *args, **kwargs)
     if not timings:
         raise NotImplementedError(
             f"{op}: no variant can implement this problem "
