@@ -35,7 +35,7 @@ from sputnik_tpu.kernels.common import (
     use_interpret,
 )
 
-__all__ = ["sdd", "sdd_panel", "plan_sdd_panel"]
+__all__ = ["sdd", "sdd_panel", "plan_sdd_panel", "sdd_bres", "plan_sdd_bres", "SDD_BRES_MAX_BYTES"]
 
 
 def _sdd_kernel(rows, cols, a_ref, b_ref, out_ref, acc_ref, *, k_tiles, dims):
@@ -312,3 +312,145 @@ def sdd_panel(
         b,
     )
     return topology.with_data(data)
+
+
+# ---------------------------------------------------------------------------
+# Input-resident SDD ("bres"): both operands live WHOLE in VMEM.
+#
+# The output-stationary kernel above re-fetches a (bs, K) strip of A and of
+# B per nonzero output block: dense traffic = 2 * nnz_blocks * bs * k * isz
+# (537 MB at d=4096/25% bf16 — 3.8x the compute-bound time; the measured
+# 0.28-of-SoL audit row is that re-stream). When m*k + n*k bytes fit VMEM
+# (<= ~96 MB), fetch each operand ONCE through a constant-index BlockSpec
+# over its (blocks, bs, k) row-strip reshape and read the strips in-kernel
+# by major-dim dynamic index — traffic drops to (m + n) * k * isz and the
+# kernel becomes MXU-bound by construction. ``pack`` output blocks of one
+# block-row share the A-strip read per step (the same packing as
+# ``bsr_small.plan_sdd_smallblock``, at full block size).
+# Reference analogue: the persistent-smem output-stationary decomposition
+# (``kernel.h:86-90``), scaled to VMEM.
+# ---------------------------------------------------------------------------
+
+
+def plan_sdd_bres(topology: BlockSparseMatrix, pack: int = 4):
+    """(rows, cols, src, n_steps): step = up to ``pack`` consecutive nonzero
+    output blocks of ONE block-row; ``src[i]`` maps packed output block i to
+    its step-major slot (the gather that drops padding)."""
+    offs = np.asarray(topology.offsets)
+    cols_all = np.asarray(topology.indices)
+    nnz = topology.nnz_blocks
+    rows_l, cols_l = [], []
+    src = np.zeros((nnz,), np.int64)
+    step = 0
+    for row in range(len(offs) - 1):
+        lo, hi = int(offs[row]), int(offs[row + 1])
+        for base in range(lo, hi, pack):
+            chunk = list(range(base, min(base + pack, hi)))
+            pad = pack - len(chunk)
+            rows_l.append(row)
+            cols_l.extend([int(cols_all[i]) for i in chunk] + [0] * pad)
+            for g, i in enumerate(chunk):
+                src[i] = step * pack + g
+            step += 1
+    as_i32 = lambda x: jnp.asarray(np.asarray(x, np.int32))
+    return as_i32(rows_l), as_i32(cols_l), as_i32(src), step
+
+
+def _sdd_bres_kernel(rows, cols, src, a3_ref, b3_ref, out_ref, *,
+                     pack: int, out_dims):
+    del src
+    j = pl.program_id(0)
+    a_strip = a3_ref[rows[j]]  # (bs, k), resident read
+    outs = []
+    for g in range(pack):
+        b_strip = b3_ref[cols[j * pack + g]]  # (bs, k)
+        outs.append(jax.lax.dot_general(
+            a_strip, b_strip, out_dims, preferred_element_type=jnp.float32,
+        ))
+    prod = jnp.concatenate(outs, axis=1) if pack > 1 else outs[0]
+    out_ref[0] = prod.astype(out_ref.dtype)
+
+
+# Both resident operands + the packed output must fit beside Mosaic's
+# working set (v5e VMEM 128 MB physical).
+SDD_BRES_MAX_BYTES = 96 << 20
+
+
+def sdd_bres(
+    a: jax.Array,
+    b: jax.Array,
+    topology: BlockSparseMatrix,
+    *,
+    transpose_a: bool = False,
+    transpose_b: bool = False,
+    out_dtype=None,
+    pack: int = 4,
+    schedule=None,  # plan_sdd_bres(topology, pack) result
+    interpret: bool | None = None,
+) -> BlockSparseMatrix:
+    """C_sparse = op(A) @ op(B) at ``topology`` with BOTH dense operands
+    VMEM-resident (each fetched once).
+
+    Operands are normalized to ROW-strip layout — op(A) rows / op(B)
+    columns as (blocks, bs, k) with k minor — so strips are major-dim
+    dynamic reads. ``transpose_a=False`` and ``transpose_b=True`` (the
+    attention q @ k^T layout) are native; the other orientations pay one
+    XLA transpose restage, which the registry's byte-aware ordering (and
+    autotune) weighs against the streaming kernels."""
+    interpret = use_interpret() if interpret is None else interpret
+    out_dtype = out_dtype or topology.dtype
+    bs = topology.block_size
+    nnz = topology.nnz_blocks
+    if nnz == 0:
+        return topology
+    k_dim = a.shape[0] if transpose_a else a.shape[1]
+    if transpose_a:  # A stored (K, M) -> (M, K)
+        a = a.T
+    if not transpose_b:  # B stored (K, N) -> (N, K)
+        b = b.T
+    m_dim, n_dim = a.shape[0], b.shape[0]
+    rows, cols, src, n_steps = (
+        schedule if schedule is not None else plan_sdd_bres(topology, pack)
+    )
+    a3 = a.reshape(m_dim // bs, bs, k_dim)
+    b3 = b.reshape(n_dim // bs, bs, k_dim)
+    isz = jnp.dtype(a.dtype).itemsize
+    vmem_limit = min(
+        120 << 20,
+        (m_dim + n_dim) * k_dim * isz
+        + 8 * n_steps_bytes(bs, pack)
+        + (8 << 20),
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _sdd_bres_kernel, pack=pack,
+            out_dims=(((1,), (1,)), ((), ())),
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(n_steps,),
+            in_specs=[
+                pl.BlockSpec(a3.shape, lambda j, r_, c_, s_: (0, 0, 0)),
+                pl.BlockSpec(b3.shape, lambda j, r_, c_, s_: (0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, bs, pack * bs), lambda j, r_, c_, s_: (j, 0, 0)
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_steps, bs, pack * bs), out_dtype),
+        compiler_params=compiler_params(
+            ("arbitrary",), vmem_limit_bytes=vmem_limit
+        ),
+        interpret=interpret,
+    )(rows, cols, src, a3, b3)
+    # Step-major (n_steps, bs, pack*bs) -> packed (nnz, bs, bs): split the
+    # lane axis and gather the real slots (pads dropped) — one fused XLA
+    # pass (the same epilogue as bsr_small.sdd_smallblock).
+    slots = out.reshape(n_steps, bs, pack, bs).transpose(0, 2, 1, 3)
+    data = slots.reshape(n_steps * pack, bs, bs)[src]
+    return topology.with_data(data)
+
+
+def n_steps_bytes(bs: int, pack: int) -> int:
+    """Per-step output-tile bytes (double-buffered f32 upper bound)."""
+    return bs * pack * bs * 4

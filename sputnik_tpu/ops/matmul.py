@@ -478,6 +478,28 @@ def _sdd_densify_can(a, b, topology, transpose_a=False, transpose_b=False,
 registry.register("sdd", "xla_dense_detour", _sdd_densify_can, reference.sdd)
 registry.register("sdd", "pallas_panel", _sdd_panel_can, bsr_sdd.sdd_panel)
 registry.register("sdd", "pallas_output_stationary", _sdd_can, bsr_sdd.sdd)
+
+
+def _sdd_bres_can(a, b, topology, transpose_a=False, transpose_b=False,
+                  out_dtype=None, schedule=None, **kw):
+    """Input-resident SDD: both dense operands whole in VMEM (each fetched
+    once — the fix for the output-stationary kernel's 2*nnz*bs*k
+    re-stream). Needs concrete topology metadata (host-packed plan)."""
+    if not _sdd_can(a, b, topology, transpose_a=transpose_a,
+                    transpose_b=transpose_b, out_dtype=out_dtype):
+        return False
+    if schedule is None and not _concrete(topology.offsets, topology.indices):
+        return False
+    m_dim = a.shape[1] if transpose_a else a.shape[0]
+    k_dim = a.shape[0] if transpose_a else a.shape[1]
+    n_dim = b.shape[0] if transpose_b else b.shape[1]
+    bs = topology.block_size
+    isz = jnp.dtype(a.dtype).itemsize
+    return (m_dim % bs == 0 and n_dim % bs == 0
+            and (m_dim + n_dim) * k_dim * isz <= bsr_sdd.SDD_BRES_MAX_BYTES)
+
+
+registry.register("sdd", "pallas_bres", _sdd_bres_can, bsr_sdd.sdd_bres)
 registry.register("sdd", "pallas_smallblock", _sdd_small_can, bsr_small.sdd_smallblock)
 registry.register("sdd", "jnp_fallback", lambda *a, **k: True, reference.sdd)
 

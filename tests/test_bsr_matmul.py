@@ -728,3 +728,41 @@ def test_bres_lane_mode_dds_nn(rng, tb):
         np.asarray(ad), np.asarray(bsp.to_dense()), transpose_b=tb,
     )
     _check(out, expected)
+
+
+@pytest.mark.parametrize("ta,tb", MODES)
+def test_sdd_bres(rng, ta, tb):
+    """Input-resident SDD: both operands fetched once, strips read by
+    major-dim dynamic index; packed-slot epilogue drops row padding."""
+    m, k, n = 640, 384, 512
+    a_shape, b_shape = _dims(m, k, n, ta, tb)
+    a = jnp.asarray(rng.standard_normal(a_shape).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(b_shape).astype(np.float32))
+    topo = _mk_sparse(rng, m, n, 0.3, True)
+    out = ops.matmul_sdd(a, b, topo, transpose_a=ta, transpose_b=tb,
+                         variant="pallas_bres")
+    full = testing.dense_oracle_matmul(
+        np.asarray(a), np.asarray(b), transpose_a=ta, transpose_b=tb
+    )
+    expected = np.asarray(
+        reference.extract_blocks(jnp.asarray(full.astype(np.float32)), topo)
+    )
+    _check(out.data, expected)
+
+
+def test_sdd_bres_schedule_reuse(rng):
+    from sputnik_tpu.kernels.bsr_sdd import plan_sdd_bres
+
+    m, k, n = 512, 256, 512
+    a = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32))
+    topo = _mk_sparse(rng, m, n, 0.25, False)
+    sched = plan_sdd_bres(topo, 4)
+    out = ops.matmul_sdd(a, b, topo, transpose_b=True, variant="pallas_bres",
+                         schedule=sched)
+    full = testing.dense_oracle_matmul(np.asarray(a), np.asarray(b),
+                                       transpose_b=True)
+    expected = np.asarray(
+        reference.extract_blocks(jnp.asarray(full.astype(np.float32)), topo)
+    )
+    _check(out.data, expected)
