@@ -166,6 +166,16 @@ def audit(d: int = 2048, density: float = 0.25, dtype_name: str = "bfloat16",
         sdd_by,
         perturb=0,
     )
+    # Input-resident SDD (explicit row): both operands once + packed out.
+    add(
+        "bsr_sdd(bres)",
+        lambda x_, y_: ops.matmul_sdd(x_, y_, topo, transpose_b=True,
+                                      variant="pallas_bres").data,
+        (b, b),
+        sdd_f,
+        2 * d * d * isz + topo.nnz * isz,
+        perturb=0,
+    )
     # SSD/SDS/DSS run their exact pre-planned work lists (the MatmulEx
     # discipline: plan once outside jit, pass the schedule in). Cost model
     # per work item: one sparse block + one (bs, bs) tile in, output once.
