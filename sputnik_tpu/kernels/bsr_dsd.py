@@ -87,6 +87,7 @@ def _stream_kernel(
     nnz: int,
     dims,
     block_first: bool,
+    out_scale: float | None = None,
 ):
     del data_ids
     j = pl.program_id(1)
@@ -103,13 +104,19 @@ def _stream_kernel(
     block = block_ref[0]
     panel = panel_ref[:]
     lhs, rhs = (block, panel) if block_first else (panel, block)
+    # Accumulator dtype follows the scratch: fp32 for float operands,
+    # int32 for the quantized int8 path (exact integer accumulation on
+    # the MXU; the dequantization scale folds into the flush).
     acc_ref[:] += jax.lax.dot_general(
-        lhs, rhs, dims, preferred_element_type=jnp.float32
+        lhs, rhs, dims, preferred_element_type=acc_ref.dtype
     )
 
     @pl.when(is_last)
     def _():
-        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+        acc = acc_ref[:]
+        if out_scale is not None:
+            acc = acc.astype(jnp.float32) * out_scale
+        out_ref[:] = acc.astype(out_ref.dtype)
 
 
 def _stream_call(
@@ -129,12 +136,18 @@ def _stream_call(
     block_first: bool,
     out_dtype,
     interpret: bool,
+    out_scale: float | None = None,
 ):
     nnz = sparse_data.shape[0]
     bs = sparse_data.shape[-1]
     grid = (panel_tiles, nnz)
     kernel = functools.partial(
-        _stream_kernel, nnz=nnz, dims=dims, block_first=block_first
+        _stream_kernel, nnz=nnz, dims=dims, block_first=block_first,
+        out_scale=out_scale,
+    )
+    acc_dtype = (
+        jnp.int32 if jnp.issubdtype(sparse_data.dtype, jnp.integer)
+        else jnp.float32
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -147,7 +160,7 @@ def _stream_call(
             panel_spec,
         ],
         out_specs=pl.BlockSpec(out_block, out_index),
-        scratch_shapes=[pltpu.VMEM(out_block, jnp.float32)],
+        scratch_shapes=[pltpu.VMEM(out_block, acc_dtype)],
     )
     return pl.pallas_call(
         kernel,
@@ -167,8 +180,12 @@ def dsd(
     out_dtype=None,
     n_tile: int = 4096,
     interpret: bool | None = None,
+    out_scale: float | None = None,
 ) -> jax.Array:
     """C[M, N] = op(A_sparse) @ op(B_dense).
+
+    ``out_scale`` multiplies the accumulator at flush — the dequantization
+    hook for the int8 path (int8 operands accumulate exactly in int32).
 
     Reference: ``block/dsd/dsd.h:10-22`` (SpMM, the MegaBlocks forward
     workhorse). ``transpose_a`` consumes the transpose metadata exactly like
@@ -218,6 +235,7 @@ def dsd(
         block_first=True,
         out_dtype=out_dtype,
         interpret=interpret,
+        out_scale=out_scale,
     )
     return _mask_empty_groups(out, group_offsets, bs, axis=0, min_hint=min_hint)
 
@@ -231,6 +249,7 @@ def dds(
     out_dtype=None,
     m_tile: int = 4096,
     interpret: bool | None = None,
+    out_scale: float | None = None,
 ) -> jax.Array:
     """C[M, N] = op(A_dense) @ op(B_sparse).
 
@@ -283,6 +302,7 @@ def dds(
         block_first=False,
         out_dtype=out_dtype,
         interpret=interpret,
+        out_scale=out_scale,
     )
     return _mask_empty_groups(out, group_offsets, bs, axis=1, min_hint=min_hint)
 

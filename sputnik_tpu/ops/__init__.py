@@ -20,6 +20,7 @@ from sputnik_tpu.ops import registry
 from sputnik_tpu.ops.autodiff import make_differentiable, grad, value_and_grad
 from sputnik_tpu.ops.softmax import bsr_softmax, sdd_softmax
 from sputnik_tpu.ops import csr
+from sputnik_tpu.ops import quant
 from sputnik_tpu.ops.autotune import autotune, benchmark_variants
 
 _AD = make_differentiable(_matmul_module)
@@ -78,6 +79,7 @@ __all__ = [
     "plan_sds",
     "plan_dss",
     "registry",
+    "quant",
     "grad",
     "value_and_grad",
     "bsr_softmax",

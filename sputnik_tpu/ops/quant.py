@@ -1,0 +1,83 @@
+"""Symmetric int8 quantized BSR SpMM — the serving path.
+
+Beyond the reference's surface: its kernels are half-in/fp32-accumulate
+only (``block/cutlass/default_block_gemm.h:58-61``). Here int8 operands
+run on the MXU's integer path (v5e int8 peak ~2x bf16) with EXACT int32
+accumulation inside the stream kernel; the dequantization scale
+``scale_a * scale_b`` folds into the accumulator flush, so the output
+leaves the kernel already in the serving dtype — no extra HBM pass.
+
+Quantization is symmetric per-tensor (the weight-serving convention):
+``q = clip(round(x / scale), -127, 127)`` with ``scale = max|x| / 127``.
+``quantize``/``quantize_bsr`` need concrete arrays (offline weight prep);
+the matmuls themselves are fully jittable.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from sputnik_tpu.formats import BlockSparseMatrix
+from sputnik_tpu.kernels import bsr_dsd
+
+__all__ = ["quantize", "quantize_bsr", "matmul_dsd_q8", "matmul_dds_q8"]
+
+
+def quantize(x: jax.Array) -> tuple[jax.Array, float]:
+    """Symmetric per-tensor int8: returns ``(q, scale)`` with
+    ``x ~= q * scale``. Host-syncs the absmax — offline/weight-prep use."""
+    amax = float(jnp.max(jnp.abs(x.astype(jnp.float32))))
+    scale = (amax / 127.0) if amax > 0 else 1.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def quantize_bsr(m: BlockSparseMatrix) -> tuple[BlockSparseMatrix, float]:
+    """Quantize a BSR matrix's block values (metadata unchanged)."""
+    q, scale = quantize(m.data)
+    return m.with_data(q), scale
+
+
+def matmul_dsd_q8(
+    a_q: BlockSparseMatrix,  # int8 blocks
+    b_q: jax.Array,  # int8 dense
+    *,
+    scale_a: float,
+    scale_b: float,
+    transpose_a: bool = False,
+    transpose_b: bool = False,
+    out_dtype=jnp.bfloat16,
+    **kw,
+) -> jax.Array:
+    """C ~= op(A) @ op(B) from int8 operands: exact int32 accumulation,
+    one fused dequant-scale at the kernel flush."""
+    if a_q.dtype != jnp.int8 or b_q.dtype != jnp.int8:
+        raise ValueError(
+            f"matmul_dsd_q8 takes int8 operands, got {a_q.dtype}/{b_q.dtype}"
+        )
+    return bsr_dsd.dsd(
+        a_q, b_q, transpose_a=transpose_a, transpose_b=transpose_b,
+        out_dtype=out_dtype, out_scale=float(scale_a) * float(scale_b), **kw,
+    )
+
+
+def matmul_dds_q8(
+    a_q: jax.Array,
+    b_q: BlockSparseMatrix,
+    *,
+    scale_a: float,
+    scale_b: float,
+    transpose_a: bool = False,
+    transpose_b: bool = False,
+    out_dtype=jnp.bfloat16,
+    **kw,
+) -> jax.Array:
+    if a_q.dtype != jnp.int8 or b_q.dtype != jnp.int8:
+        raise ValueError(
+            f"matmul_dds_q8 takes int8 operands, got {a_q.dtype}/{b_q.dtype}"
+        )
+    return bsr_dsd.dds(
+        a_q, b_q, transpose_a=transpose_a, transpose_b=transpose_b,
+        out_dtype=out_dtype, out_scale=float(scale_a) * float(scale_b), **kw,
+    )
