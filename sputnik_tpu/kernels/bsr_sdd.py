@@ -335,25 +335,15 @@ def sdd_panel(
 def plan_sdd_bres(topology: BlockSparseMatrix, pack: int = 4):
     """(rows, cols, src, n_steps): step = up to ``pack`` consecutive nonzero
     output blocks of ONE block-row; ``src[i]`` maps packed output block i to
-    its step-major slot (the gather that drops padding)."""
-    offs = np.asarray(topology.offsets)
-    cols_all = np.asarray(topology.indices)
-    nnz = topology.nnz_blocks
-    rows_l, cols_l = [], []
-    src = np.zeros((nnz,), np.int64)
-    step = 0
-    for row in range(len(offs) - 1):
-        lo, hi = int(offs[row]), int(offs[row + 1])
-        for base in range(lo, hi, pack):
-            chunk = list(range(base, min(base + pack, hi)))
-            pad = pack - len(chunk)
-            rows_l.append(row)
-            cols_l.extend([int(cols_all[i]) for i in chunk] + [0] * pad)
-            for g, i in enumerate(chunk):
-                src[i] = step * pack + g
-            step += 1
+    its step-major slot (the gather that drops padding). Planned by the
+    native toolkit (vectorized numpy fallback) — no per-row Python loop."""
+    from sputnik_tpu import native
+
+    rows, cols, src, n_steps = native.pack_rows(
+        np.asarray(topology.offsets), np.asarray(topology.indices), pack
+    )
     as_i32 = lambda x: jnp.asarray(np.asarray(x, np.int32))
-    return as_i32(rows_l), as_i32(cols_l), as_i32(src), step
+    return as_i32(rows), as_i32(cols), as_i32(src), n_steps
 
 
 def _sdd_bres_kernel(rows, cols, src, a3_ref, b3_ref, out_ref, *,

@@ -20,6 +20,7 @@ __all__ = [
     "row_indices",
     "transpose_metadata",
     "csr_to_bsr",
+    "pack_rows",
     "read_smtx",
     "sorted_row_swizzle",
 ]
@@ -86,6 +87,10 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, _i32p, _i32p,
         ]
         lib.sputnik_sorted_row_swizzle.argtypes = [_i32p, ctypes.c_int64, _i32p]
+        lib.sputnik_pack_rows.restype = ctypes.c_int64
+        lib.sputnik_pack_rows.argtypes = [
+            _i32p, _i32p, ctypes.c_int64, ctypes.c_int32, _i32p, _i32p, _i32p,
+        ]
         _lib = lib
         return _lib
 
@@ -215,3 +220,49 @@ def sorted_row_swizzle(offsets: np.ndarray) -> np.ndarray:
         return out
     lens = offsets[1:] - offsets[:-1]
     return np.argsort(-lens, kind="stable").astype(np.int32)
+
+
+def pack_rows(
+    offsets: np.ndarray, indices: np.ndarray, pack: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Pack each row's nonzeros into ceil(count/pack) fixed-width steps.
+
+    Returns ``(rows, cols, src, n_steps)``: per-step row ids, per-slot
+    column ids (padding slots repeat 0), and the packed step-major slot of
+    every nonzero — the shared host planner for the packed-output kernels
+    (``bsr_sdd.plan_sdd_bres``, ``bsr_small.plan_sdd_smallblock``)."""
+    offsets = np.ascontiguousarray(offsets, np.int32)
+    indices = np.ascontiguousarray(indices, np.int32)
+    n_rows = len(offsets) - 1
+    nnz = int(offsets[-1])
+    counts = offsets[1:].astype(np.int64) - offsets[:-1]
+    spr = -(-counts // pack)  # steps per row
+    n_steps = int(spr.sum())
+    lib = _load()
+    if lib is not None:
+        rows = np.empty((n_steps,), np.int32)
+        cols = np.empty((n_steps * pack,), np.int32)
+        src = np.zeros((max(nnz, 1),), np.int32)
+        got = lib.sputnik_pack_rows(offsets, indices, n_rows, pack,
+                                    rows, cols, src)
+        assert got == n_steps, (got, n_steps)
+        return rows, cols, src[:nnz], n_steps
+    # Vectorized numpy fallback (no Python-per-row loop).
+    if n_steps == 0:
+        z = np.zeros((0,), np.int32)
+        return z, z, np.zeros((nnz,), np.int32), 0
+    rows = np.repeat(np.arange(n_rows, dtype=np.int32), spr)
+    row_first_step = np.concatenate([[0], np.cumsum(spr)])
+    step_in_row = np.arange(n_steps, dtype=np.int64) - np.repeat(
+        row_first_step[:-1], spr
+    )
+    step_lo = np.repeat(offsets[:-1].astype(np.int64), spr) + step_in_row * pack
+    pos = step_lo[:, None] + np.arange(pack, dtype=np.int64)
+    hi = np.repeat(offsets[1:].astype(np.int64), spr)[:, None]
+    valid = pos < hi
+    pos_c = np.minimum(pos, max(nnz - 1, 0))
+    cols = np.where(valid, indices[pos_c], 0).astype(np.int32).reshape(-1)
+    slots = np.arange(n_steps, dtype=np.int64)[:, None] * pack + np.arange(pack)
+    src = np.zeros((nnz,), np.int32)
+    src[pos[valid]] = slots[valid].astype(np.int32)
+    return rows, cols, src, n_steps

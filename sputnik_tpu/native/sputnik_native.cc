@@ -170,4 +170,33 @@ void sputnik_sorted_row_swizzle(const int32_t* offsets, int64_t n_rows,
   for (int64_t i = 0; i < n_rows; ++i) order[i] = (int32_t)idx[i];
 }
 
+// Pack each block-row's nonzeros into ceil(count/pack) fixed-width steps —
+// the shared host planner behind the packed-output kernels
+// (bsr_sdd.plan_sdd_bres, bsr_small.plan_sdd_smallblock). rows: (n_steps)
+// row id per step; cols: (n_steps*pack) column ids with padding slots
+// repeating 0; src: (nnz) the packed step-major slot of nonzero i.
+// Returns n_steps (the caller sizes outputs from the offsets first).
+int64_t sputnik_pack_rows(const int32_t* offsets, const int32_t* indices,
+                          int64_t n_rows, int32_t pack,
+                          int32_t* rows, int32_t* cols, int32_t* src) {
+  int64_t step = 0;
+  for (int64_t r = 0; r < n_rows; ++r) {
+    int32_t lo = offsets[r], hi = offsets[r + 1];
+    for (int32_t base = lo; base < hi; base += pack) {
+      rows[step] = (int32_t)r;
+      for (int32_t g = 0; g < pack; ++g) {
+        int32_t i = base + g;
+        if (i < hi) {
+          cols[step * pack + g] = indices[i];
+          src[i] = (int32_t)(step * pack + g);
+        } else {
+          cols[step * pack + g] = 0;
+        }
+      }
+      ++step;
+    }
+  }
+  return step;
+}
+
 }  // extern "C"

@@ -103,3 +103,37 @@ def test_synthetic_dlmc(rng):
     assert m.shape == (512, 256)
     realized = m.nnz / (512 * 256)
     assert 0.05 < realized < 0.15
+
+
+def test_pack_rows_native_matches_fallback(rng):
+    """The C planner and the vectorized numpy fallback agree exactly
+    (ragged rows, empty rows, non-dividing pack)."""
+    from sputnik_tpu import native
+
+    counts = rng.integers(0, 9, 64)
+    counts[5] = 0
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    nnz = int(offsets[-1])
+    indices = rng.integers(0, 40, nnz).astype(np.int32)
+    for pack in (2, 3, 4, 8):
+        got = native.pack_rows(offsets, indices, pack)
+        # Force the numpy path by invoking the fallback logic directly:
+        # re-derive with a broken lib handle via monkeypatched _load.
+        import sputnik_tpu.native as nat
+        orig = nat._load
+        nat._load = lambda: None
+        try:
+            ref = nat.pack_rows(offsets, indices, pack)
+        finally:
+            nat._load = orig
+        assert got[3] == ref[3]
+        for g, r in zip(got[:3], ref[:3]):
+            np.testing.assert_array_equal(g, r)
+        # Invariant: every nonzero lands in a slot whose step's row is its own.
+        rows, cols, src, n_steps = got
+        if n_steps:
+            row_of_slot = np.repeat(rows, pack)
+            from sputnik_tpu.native import row_indices
+            rid = row_indices(offsets)
+            np.testing.assert_array_equal(row_of_slot[src], rid)
+            np.testing.assert_array_equal(cols[src], indices)
