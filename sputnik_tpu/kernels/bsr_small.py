@@ -72,27 +72,32 @@ def plan_smallblock(a: BlockSparseMatrix, *, transposed: bool = False):
         data_all = None
     nnz = a.nnz_blocks
     n_rows = len(offs) - 1
-    out_ids, subs, deps, datas = [], [], [], []
-    row_counts = np.zeros(cdiv(n_rows, pack), np.int64)
-    for row in range(n_rows):
-        lo, hi = int(offs[row]), int(offs[row + 1])
-        sup, sub = divmod(row, pack)
-        for base in range(lo, hi, pack):
-            chunkb = list(range(base, min(base + pack, hi)))
-            pad = pack - len(chunkb)
-            out_ids.append(sup)
-            subs.append(sub)
-            deps.extend([int(deps_all[b]) for b in chunkb] + [0] * pad)
-            phys = (
-                chunkb if data_all is None
-                else [int(data_all[b]) for b in chunkb]
-            )
-            datas.extend(phys + [nnz] * pad)  # nnz -> appended zero block
-            row_counts[sup] += 1
+    offs64 = offs.astype(np.int64)
+    counts = offs64[1:] - offs64[:-1]
+    spr = -(-counts // pack)  # steps per row (vectorized; no Python loop)
+    n_steps = int(spr.sum())
+    rows = np.repeat(np.arange(n_rows, dtype=np.int64), spr)
+    row_first = np.concatenate([[0], np.cumsum(spr)])
+    step_in_row = np.arange(n_steps, dtype=np.int64) - np.repeat(
+        row_first[:-1], spr
+    )
+    pos = (np.repeat(offs64[:-1], spr) + step_in_row * pack)[:, None] \
+        + np.arange(pack, dtype=np.int64)
+    valid = pos < np.repeat(offs64[1:], spr)[:, None]
+    pos_c = np.minimum(pos, max(nnz - 1, 0))
+    deps = np.where(valid, np.asarray(deps_all)[pos_c], 0).reshape(-1)
+    phys_all = np.arange(nnz, dtype=np.int64) if data_all is None else data_all
+    # Padding slots fetch block index ``nnz`` (the appended zero block).
+    datas = np.where(valid, np.asarray(phys_all)[pos_c], nnz).reshape(-1)
+    out_ids = rows // pack
+    subs = rows % pack
+    row_counts = np.bincount(out_ids, minlength=cdiv(n_rows, pack)).astype(
+        np.int64
+    )
     as_i32 = lambda x: jnp.asarray(np.asarray(x, np.int32))
     return (
         as_i32(out_ids), as_i32(subs), as_i32(deps), as_i32(datas),
-        len(out_ids), row_counts,
+        n_steps, row_counts,
     )
 
 
