@@ -126,7 +126,7 @@ def _plan(out_ids, dep_ids, data_ids, counts, q, *, concrete: bool):
 
 
 def _step_partial(block_refs, get_panel, *, q, n_valid, dims, block_first,
-                  accum):
+                  accum, acc_dtype=jnp.float32):
     """The q slots' fp32 partial sum for one step — kcat: ONE dot of
     contraction depth q*bs ([B0 B1] @ [P0; P1] = B0@P0 + B1@P1); value: q
     summed dots. Padding slots (qi >= n_valid) repeat real data and are
@@ -148,13 +148,13 @@ def _step_partial(block_refs, get_panel, *, q, n_valid, dims, block_first,
         lhs = jnp.concatenate(lhs_parts, axis=dims[0][0][0])
         rhs = jnp.concatenate(rhs_parts, axis=dims[0][1][0])
         return jax.lax.dot_general(
-            lhs, rhs, dims, preferred_element_type=jnp.float32
+            lhs, rhs, dims, preferred_element_type=acc_dtype
         )
     part = None
     for block, panel in zip(blocks, panels):
         lhs, rhs = (block, panel) if block_first else (panel, block)
         d = jax.lax.dot_general(
-            lhs, rhs, dims, preferred_element_type=jnp.float32
+            lhs, rhs, dims, preferred_element_type=acc_dtype
         )
         part = d if part is None else part + d
     return part
@@ -466,6 +466,7 @@ def _bres_kernel(
     dims,
     block_first: bool,
     accum: str,
+    out_scale: float | None,
     panel_mode: str,  # "major": dense_ref[(kb, bs, w)][dep]; "lane":
     #                   dense_ref[(w, k)][:, dep*bs : +bs] (128-aligned
     #                   dynamic lane offset — viability measured by
@@ -489,6 +490,7 @@ def _bres_kernel(
     part = _step_partial(
         refs[:q], get_panel, q=q,
         n_valid=n_valid, dims=dims, block_first=block_first, accum=accum,
+        acc_dtype=acc_ref.dtype,
     )
 
     @pl.when(is_first)
@@ -501,7 +503,10 @@ def _bres_kernel(
 
     @pl.when(is_last)
     def _():
-        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+        acc = acc_ref[:]
+        if out_scale is not None:
+            acc = acc.astype(jnp.float32) * out_scale
+        out_ref[:] = acc.astype(out_ref.dtype)
 
 
 def _bres_call(
@@ -523,6 +528,7 @@ def _bres_call(
     out_dtype,
     interpret: bool,
     accum: str = "kcat",
+    out_scale: float | None = None,
     panel_mode: str = "major",
 ):
     bs = sparse_data.shape[-1]
@@ -555,14 +561,19 @@ def _bres_call(
 
     kernel = functools.partial(
         _bres_kernel, n_steps=n_steps, q=q, bs=bs, dims=dims,
-        block_first=block_first, accum=accum, panel_mode=panel_mode,
+        block_first=block_first, accum=accum, out_scale=out_scale,
+        panel_mode=panel_mode,
+    )
+    acc_dtype = (
+        jnp.int32 if jnp.issubdtype(sparse_data.dtype, jnp.integer)
+        else jnp.float32
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(n_steps,),
         in_specs=[block_spec(i) for i in range(q)] + [dense_spec],
         out_specs=pl.BlockSpec(out_block, out_index),
-        scratch_shapes=[pltpu.VMEM(out_block, jnp.float32)],
+        scratch_shapes=[pltpu.VMEM(out_block, acc_dtype)],
     )
     isz = jnp.dtype(dense_res.dtype).itemsize
     vmem_limit = min(
@@ -598,6 +609,7 @@ def dsd_bres(
     q: int = 8,
     accum: str = "kcat",
     interpret: bool | None = None,
+    out_scale: float | None = None,
 ) -> jax.Array:
     """C = op(A_sparse) @ op(B) with the WHOLE of B VMEM-resident (fetched
     once); ``B.nbytes <= BRES_MAX_DENSE_BYTES``. K-major B
@@ -638,6 +650,7 @@ def dsd_bres(
         out_dtype=out_dtype,
         interpret=interpret,
         accum=accum,
+        out_scale=out_scale,
         panel_mode="lane" if transpose_b else "major",
     )
     return _mask_empty_groups(out, group_offsets, bs, axis=0, min_hint=min_hint)
@@ -653,6 +666,7 @@ def dds_bres(
     q: int = 8,
     accum: str = "kcat",
     interpret: bool | None = None,
+    out_scale: float | None = None,
 ) -> jax.Array:
     """C = op(A) @ op(B_sparse) with the WHOLE of A VMEM-resident.
     K-major A (transpose_a=True) uses major-dim panel reads; natural A
@@ -691,6 +705,7 @@ def dds_bres(
         out_dtype=out_dtype,
         interpret=interpret,
         accum=accum,
+        out_scale=out_scale,
         panel_mode="major" if transpose_a else "lane",
     )
     return _mask_empty_groups(out, group_offsets, bs, axis=1, min_hint=min_hint)

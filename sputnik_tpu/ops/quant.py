@@ -19,9 +19,12 @@ import jax
 import jax.numpy as jnp
 
 from sputnik_tpu.formats import BlockSparseMatrix
-from sputnik_tpu.kernels import bsr_dsd
+from sputnik_tpu.kernels import bsr_dsd, bsr_qstream
 
 __all__ = ["quantize", "quantize_bsr", "matmul_dsd_q8", "matmul_dds_q8"]
+
+_DSD_KERNELS = {"stream": bsr_dsd.dsd, "bres": bsr_qstream.dsd_bres}
+_DDS_KERNELS = {"stream": bsr_dsd.dds, "bres": bsr_qstream.dds_bres}
 
 
 def quantize(x: jax.Array) -> tuple[jax.Array, float]:
@@ -48,15 +51,17 @@ def matmul_dsd_q8(
     transpose_a: bool = False,
     transpose_b: bool = False,
     out_dtype=jnp.bfloat16,
+    kernel: str = "stream",
     **kw,
 ) -> jax.Array:
     """C ~= op(A) @ op(B) from int8 operands: exact int32 accumulation,
-    one fused dequant-scale at the kernel flush."""
+    one fused dequant-scale at the kernel flush. ``kernel`` picks the
+    schedule ("stream" or the dense-resident "bres")."""
     if a_q.dtype != jnp.int8 or b_q.dtype != jnp.int8:
         raise ValueError(
             f"matmul_dsd_q8 takes int8 operands, got {a_q.dtype}/{b_q.dtype}"
         )
-    return bsr_dsd.dsd(
+    return _DSD_KERNELS[kernel](
         a_q, b_q, transpose_a=transpose_a, transpose_b=transpose_b,
         out_dtype=out_dtype, out_scale=float(scale_a) * float(scale_b), **kw,
     )
@@ -71,13 +76,14 @@ def matmul_dds_q8(
     transpose_a: bool = False,
     transpose_b: bool = False,
     out_dtype=jnp.bfloat16,
+    kernel: str = "stream",
     **kw,
 ) -> jax.Array:
     if a_q.dtype != jnp.int8 or b_q.dtype != jnp.int8:
         raise ValueError(
             f"matmul_dds_q8 takes int8 operands, got {a_q.dtype}/{b_q.dtype}"
         )
-    return bsr_dsd.dds(
+    return _DDS_KERNELS[kernel](
         a_q, b_q, transpose_a=transpose_a, transpose_b=transpose_b,
         out_dtype=out_dtype, out_scale=float(scale_a) * float(scale_b), **kw,
     )

@@ -72,3 +72,25 @@ def test_q8_rejects_float_operands(rng):
     b = jnp.ones((256, 128), jnp.float32)
     with pytest.raises(ValueError, match="int8"):
         matmul_dsd_q8(a, b, scale_a=1.0, scale_b=1.0)
+
+
+def test_dsd_q8_bres_and_jit(rng):
+    """int8 through the dense-resident kernel, and the whole quantized
+    matmul under jit (serving shape)."""
+    m, k, n = 512, 384, 256
+    a = testing.random_bsr(rng, m, k, m * k // 3, 128)
+    b = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32))
+    a_q, sa = quantize_bsr(a)
+    b_q, sb = quantize(b)
+    deq_a = np.asarray(a.with_data(
+        jnp.asarray(a_q.data, jnp.float32) * sa).to_dense())
+    deq_b = np.asarray(b_q, np.float32) * sb
+    expected = testing.dense_oracle_matmul(deq_a, deq_b)
+    out = matmul_dsd_q8(a_q, b_q, scale_a=sa, scale_b=sb, kernel="bres",
+                        out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out, np.float32), expected,
+                               rtol=1e-5, atol=1e-4)
+    jitted = jax.jit(lambda aq, bq: matmul_dsd_q8(
+        aq, bq, scale_a=sa, scale_b=sb, out_dtype=jnp.float32))
+    np.testing.assert_allclose(np.asarray(jitted(a_q, b_q), np.float32),
+                               expected, rtol=1e-5, atol=1e-4)
