@@ -11,6 +11,10 @@ Quantization is symmetric per-tensor (the weight-serving convention):
 ``q = clip(round(x / scale), -127, 127)`` with ``scale = max|x| / 127``.
 ``quantize``/``quantize_bsr`` need concrete arrays (offline weight prep);
 the matmuls themselves are fully jittable.
+
+Future work: per-block-row scales (fold a bitcast f32 scale read from a
+fourth scalar-prefetch array into the flush) — per-tensor is the v1
+contract.
 """
 
 from __future__ import annotations
