@@ -40,10 +40,31 @@ def quantize(x: jax.Array) -> tuple[jax.Array, float]:
     return q.astype(jnp.int8), scale
 
 
-def quantize_bsr(m: BlockSparseMatrix) -> tuple[BlockSparseMatrix, float]:
-    """Quantize a BSR matrix's block values (metadata unchanged)."""
-    q, scale = quantize(m.data)
-    return m.with_data(q), scale
+def quantize_bsr(
+    m: BlockSparseMatrix, *, per: str = "tensor"
+) -> tuple[BlockSparseMatrix, "float | jax.Array"]:
+    """Quantize a BSR matrix's block values (metadata unchanged).
+
+    ``per="tensor"``: one scale (kernel-fused dequant).
+    ``per="block_row"``: a (block_rows,) f32 scale vector — tighter for
+    weights with heterogeneous row magnitudes; dequant runs as one fused
+    XLA epilogue pass over the output instead of inside the flush."""
+    if per == "tensor":
+        q, scale = quantize(m.data)
+        return m.with_data(q), scale
+    if per != "block_row":
+        raise ValueError(f"per must be 'tensor' or 'block_row', got {per!r}")
+    import numpy as np
+
+    data = jnp.abs(m.data.astype(jnp.float32)).max(axis=(1, 2))  # (nnz_b,)
+    rows = m.row_indices
+    amax = jnp.zeros((m.block_rows,), jnp.float32).at[rows].max(data)
+    scales = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(
+        jnp.round(m.data.astype(jnp.float32) / scales[rows][:, None, None]),
+        -127, 127,
+    ).astype(jnp.int8)
+    return m.with_data(q), scales
 
 
 def matmul_dsd_q8(
@@ -65,10 +86,25 @@ def matmul_dsd_q8(
         raise ValueError(
             f"matmul_dsd_q8 takes int8 operands, got {a_q.dtype}/{b_q.dtype}"
         )
-    return _DSD_KERNELS[kernel](
+    if isinstance(scale_a, (float, int)):  # per-tensor: dequant in the flush
+        return _DSD_KERNELS[kernel](
+            a_q, b_q, transpose_a=transpose_a, transpose_b=transpose_b,
+            out_dtype=out_dtype, out_scale=float(scale_a) * float(scale_b),
+            **kw,
+        )
+    # Per-block-row scale vector: raw exact int32 out of the kernel, one
+    # fused XLA epilogue (scale + cast) — costs a pass over the output.
+    if transpose_a:
+        raise ValueError("per-block-row scales need transpose_a=False "
+                         "(the scale follows the OUTPUT row)")
+    raw = _DSD_KERNELS[kernel](
         a_q, b_q, transpose_a=transpose_a, transpose_b=transpose_b,
-        out_dtype=out_dtype, out_scale=float(scale_a) * float(scale_b), **kw,
+        out_dtype=jnp.int32, **kw,
     )
+    row_scale = jnp.repeat(
+        jnp.asarray(scale_a, jnp.float32) * float(scale_b), a_q.block_size
+    )
+    return (raw.astype(jnp.float32) * row_scale[:, None]).astype(out_dtype)
 
 
 def matmul_dds_q8(

@@ -94,3 +94,43 @@ def test_dsd_q8_bres_and_jit(rng):
         aq, bq, scale_a=sa, scale_b=sb, out_dtype=jnp.float32))
     np.testing.assert_allclose(np.asarray(jitted(a_q, b_q), np.float32),
                                expected, rtol=1e-5, atol=1e-4)
+
+
+def test_dsd_q8_per_block_row_scales(rng):
+    """Per-block-row scales keep SMALL rows accurate when row magnitudes
+    are heterogeneous (a per-tensor scale crushes them to a few int8
+    levels); dequant runs as the fused epilogue over exact int32."""
+    m, k, n = 512, 384, 256
+    a = testing.random_bsr(rng, m, k, m * k // 3, 128)
+    row_gain = 10.0 ** rng.uniform(-2, 2, m // 128)
+    a = a.with_data(
+        a.data
+        * jnp.asarray(row_gain, jnp.float32)[a.row_indices][:, None, None]
+    )
+    b = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32))
+    b_q, sb = quantize(b)
+    deq_b = np.asarray(b_q, np.float32) * sb
+    exact = testing.dense_oracle_matmul(np.asarray(a.to_dense()), deq_b)
+    norms = np.linalg.norm(exact, axis=1) + 1e-30
+
+    worst = {}
+    for per in ("tensor", "block_row"):
+        a_q, sa = quantize_bsr(a, per=per)
+        out = np.asarray(
+            matmul_dsd_q8(a_q, b_q, scale_a=sa, scale_b=sb,
+                          out_dtype=jnp.float32), np.float32)
+        worst[per] = float(
+            (np.linalg.norm(out - exact, axis=1) / norms).max())
+        # Exactness vs the dequantized-A oracle (int32 path is exact).
+        sa_blocks = (
+            sa if isinstance(sa, float)
+            else jnp.asarray(sa, jnp.float32)[a_q.row_indices][:, None, None]
+        )
+        deq_a = np.asarray(
+            a.with_data(jnp.asarray(a_q.data, jnp.float32) * sa_blocks)
+            .to_dense())
+        expected = testing.dense_oracle_matmul(deq_a, deq_b)
+        np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-3)
+    # The per-tensor scheme's worst row is catastrically coarse; per-row
+    # keeps every row at ordinary int8 precision.
+    assert worst["block_row"] < worst["tensor"] / 10, worst
