@@ -1,11 +1,18 @@
-"""Sparse-weight fine-tuning: magnitude-prune a trained layer, then train
-only the SURVIVING weights through the SELL kernels.
+"""Sparse-weight fine-tuning, both granularities the kernels serve.
 
-The upstream-Sputnik story (Gale et al., "The State of Sparsity"):
-magnitude-prune transformer weights, keep training. Here the pruned
-pattern is FROZEN (indices fixed); gradients flow to the values only —
-forward = SELL SpMM, dW = SELL SDDMM at the pattern, dx = transposed
-SpMM — every pass sparse, nothing densified.
+Part 1 — element granularity, FROZEN pattern (the upstream-Sputnik story,
+Gale et al. "The State of Sparsity"): magnitude-prune a trained layer,
+train only the surviving values through the SELL kernels — forward = SELL
+SpMM, dW = SELL SDDMM at the pattern, dx = transposed SpMM, every pass
+sparse, nothing densified.
+
+Part 2 — BLOCK granularity, DYNAMIC topology (RigL, Evci et al. 2020, at
+the MegaBlocks block size): one-shot block-magnitude prune via
+``sputnik_tpu.prune``, fine-tune values through the BSR DSD op, and every
+N steps drop the weakest blocks / regrow the highest-gradient ones with
+``prune.rigl_block_update``. The nonzero-block budget is static, so every
+refresh reuses the same compiled train step (budget-stable static hints;
+see prune.rigl_block_update).
 
 Run:  JAX_PLATFORMS=cpu python examples/sparse_finetune.py
       (or on TPU with the default backend)
@@ -16,6 +23,12 @@ import sys
 
 import numpy as np
 import jax
+# The axon TPU plugin ignores the JAX_PLATFORMS environment variable;
+# honor it through the config API so CPU runs work with the tunnel down.
+import os as _os
+if _os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+
 import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -68,5 +81,56 @@ def main():
     print("pattern preserved; sparse fine-tune complete")
 
 
+def block_rigl_demo():
+    """Block-granular sparse training with RigL topology refreshes."""
+    from sputnik_tpu import ops, prune
+
+    rng = np.random.default_rng(1)
+    rows, cols, bs, batch = 256, 512, 32, 64
+    w_dense = rng.standard_normal((rows, cols)).astype(np.float32) * 0.05
+    x = jnp.asarray(rng.standard_normal((cols, batch)).astype(np.float32))
+    teacher = jnp.asarray(w_dense) @ x
+
+    # One-shot block prune to 25% block density.
+    m = prune.block_magnitude_prune(jnp.asarray(w_dense), bs, sparsity=0.75)
+    print(f"\nblock prune: bs={bs}, {m.nnz_blocks}/{m.block_rows * m.block_cols} "
+          f"blocks kept ({m.density:.0%} block density)")
+
+    def loss_from_data(data, topo):
+        y = ops.dsd(topo.with_data(data), x)  # sparse fwd + sparse bwd
+        return jnp.mean((y - teacher) ** 2)
+
+    # One compiled step serves every topology: the budget is static, the
+    # topology rides in as (traced) metadata arrays of fixed shape.
+    @jax.jit
+    def train_step(data, topo):
+        loss, g = jax.value_and_grad(loss_from_data)(data, topo)
+        return loss, data - 0.5 * g
+
+    @jax.jit
+    def dense_grad(topo):
+        # RigL refresh signal: the loss gradient w.r.t. the DENSE weight
+        # (scores for inactive blocks too). Only run on refresh steps.
+        return jax.grad(lambda wd: jnp.mean((wd @ x - teacher) ** 2))(topo.to_dense())
+
+    data = m.data
+    for step in range(61):
+        loss, data = train_step(data, m)
+        if step and step % 20 == 0:
+            before = {(int(r), int(c)) for r, c in
+                      zip(np.asarray(m.row_indices), np.asarray(m.indices))}
+            m = prune.rigl_block_update(m.with_data(data), dense_grad(m.with_data(data)),
+                                        drop_fraction=0.2)
+            data = m.data
+            after = {(int(r), int(c)) for r, c in
+                     zip(np.asarray(m.row_indices), np.asarray(m.indices))}
+            print(f"step {step}: loss {float(loss):.5f}, RigL refresh swapped "
+                  f"{len(after - before)} blocks (budget {m.nnz_blocks})")
+        elif step % 20 == 0 or step == 60:
+            print(f"step {step}: loss {float(loss):.5f}")
+    print("block-RigL sparse fine-tune complete")
+
+
 if __name__ == "__main__":
     main()
+    block_rigl_demo()

@@ -28,6 +28,7 @@ from sputnik_tpu.formats import (
     csr_from_dense,
 )
 from sputnik_tpu import ops
+from sputnik_tpu import prune
 from sputnik_tpu.ops import matmul_dsd, matmul_dds, matmul_sdd, matmul_ssd, matmul_sds, matmul_dss, matmul_sss
 from sputnik_tpu.ops import grad, value_and_grad
 
@@ -41,6 +42,7 @@ __all__ = [
     "bsr_from_dense",
     "csr_from_dense",
     "ops",
+    "prune",
     "matmul_dsd",
     "matmul_dds",
     "matmul_sdd",
