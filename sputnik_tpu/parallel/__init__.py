@@ -2,14 +2,17 @@
 reference, which is single-GPU — SURVEY.md section 2.8)."""
 
 from sputnik_tpu.parallel.sharding import (
+    BandedShardedBlockSparseMatrix,
     ShardedBlockSparseMatrix,
     ShardedCsrMatrix,
     ShardedSellMatrix,
     partition_bsr_rows,
+    partition_bsr_rows_kbands,
     partition_csr_rows,
     partition_sell_rows,
     partition_sell_cols,
     sharded_dsd,
+    sharded_dsd_ring,
     sharded_sdd,
     sharded_spmm,
     sharded_spmm_sell,
@@ -33,14 +36,17 @@ from sputnik_tpu.parallel.ring_attention import (
 )
 
 __all__ = [
+    "BandedShardedBlockSparseMatrix",
     "ShardedBlockSparseMatrix",
     "ShardedCsrMatrix",
     "ShardedSellMatrix",
     "partition_bsr_rows",
+    "partition_bsr_rows_kbands",
     "partition_csr_rows",
     "partition_sell_rows",
     "partition_sell_cols",
     "sharded_dsd",
+    "sharded_dsd_ring",
     "sharded_sdd",
     "sharded_spmm",
     "sharded_spmm_sell",

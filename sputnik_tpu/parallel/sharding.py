@@ -32,14 +32,17 @@ from sputnik_tpu.kernels import bsr_dsd, bsr_sdd, sell as sell_kernels
 from sputnik_tpu.ops import csr as csr_ops
 
 __all__ = [
+    "BandedShardedBlockSparseMatrix",
     "ShardedBlockSparseMatrix",
     "ShardedCsrMatrix",
     "ShardedSellMatrix",
     "partition_bsr_rows",
+    "partition_bsr_rows_kbands",
     "partition_csr_rows",
     "partition_sell_rows",
     "partition_sell_cols",
     "sharded_dsd",
+    "sharded_dsd_ring",
     "sharded_sdd",
     "sharded_spmm",
     "sharded_spmm_sell",
@@ -262,6 +265,177 @@ def sharded_dsd(
         local,
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), b_spec),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return fn(a.data, a.offsets, a.indices, a.row_indices, b)
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["data", "offsets", "indices", "row_indices"],
+    meta_fields=["shape", "block_size", "n_shards", "max_row_nnz"],
+)
+@dataclasses.dataclass(frozen=True)
+class BandedShardedBlockSparseMatrix:
+    """Row-partitioned BSR additionally split into per-shard K-bands, for
+    the ring (collective-matmul) schedule: ``data[s, j]`` holds shard s's
+    blocks whose block-column falls in contraction band j, with column ids
+    re-based to the band (matching the K-sharded dense operand's local
+    coordinates). All (s, j) cells are padded to one nnz so the arrays are
+    rectangular; padding blocks are zero-valued duplicate slots (inert)."""
+
+    data: jax.Array  # (S, S, P, bs, bs)
+    offsets: jax.Array  # (S, S, local_block_rows + 1)
+    indices: jax.Array  # (S, S, P) band-local block-col ids
+    row_indices: jax.Array  # (S, S, P) shard-local block-row ids
+    shape: Tuple[int, int]  # global
+    block_size: int
+    n_shards: int
+    max_row_nnz: Optional[int]
+
+    @property
+    def local_rows(self) -> int:
+        return self.shape[0] // self.n_shards
+
+
+def partition_bsr_rows_kbands(
+    m: BlockSparseMatrix, n_shards: int
+) -> BandedShardedBlockSparseMatrix:
+    """Split a BSR into ``n_shards`` row bands × ``n_shards`` K-bands
+    (host-side), the operand layout :func:`sharded_dsd_ring` consumes."""
+    if m.block_rows % n_shards:
+        raise ValueError(f"block_rows {m.block_rows} not divisible by {n_shards}")
+    if m.block_cols % n_shards:
+        raise ValueError(f"block_cols {m.block_cols} not divisible by {n_shards}")
+    rows_per = m.block_rows // n_shards
+    kbb = m.block_cols // n_shards  # block-cols per band
+    offs = np.asarray(m.offsets)
+    idx = np.asarray(m.indices)
+    rowid = np.asarray(m.row_indices)
+    data = np.asarray(m.data)
+
+    cells = []  # (s, j) -> (data, offsets, indices, row_indices)
+    for s in range(n_shards):
+        lo, hi = offs[s * rows_per], offs[(s + 1) * rows_per]
+        i_s, r_s, d_s = idx[lo:hi], rowid[lo:hi] - s * rows_per, data[lo:hi]
+        for j in range(n_shards):
+            sel = (i_s // kbb) == j
+            cells.append((d_s[sel], i_s[sel] - j * kbb, r_s[sel]))
+    pad_to = max(max(c[0].shape[0] for c in cells), 1)
+    bs = m.block_size
+    max_row = 0
+
+    d_out, o_out, i_out, r_out = [], [], [], []
+    for d, i, r in cells:
+        n = d.shape[0]
+        pad = pad_to - n
+        if pad:
+            d = np.concatenate([d, np.zeros((pad, bs, bs), d.dtype)])
+            i = np.concatenate([i, np.full(pad, i[-1] if n else 0, np.int32)])
+            # Padding appended to the LAST occupied row keeps row_indices
+            # sorted and offsets consistent with them.
+            r = np.concatenate([r, np.full(pad, r[-1] if n else rows_per - 1, np.int32)])
+        o = np.zeros(rows_per + 1, np.int64)
+        np.add.at(o[1:], r, 1)
+        o = np.cumsum(o)
+        max_row = max(max_row, int((o[1:] - o[:-1]).max()))
+        d_out.append(d)
+        o_out.append(o)
+        i_out.append(i.astype(np.int32))
+        r_out.append(r.astype(np.int32))
+
+    def _stack(parts, dtype):
+        arr = np.stack(parts).reshape(n_shards, n_shards, *parts[0].shape)
+        return jnp.asarray(arr.astype(dtype))
+
+    return BandedShardedBlockSparseMatrix(
+        data=_stack(d_out, np.asarray(data).dtype),
+        offsets=_stack(o_out, np.int32),
+        indices=_stack(i_out, np.int32),
+        row_indices=_stack(r_out, np.int32),
+        shape=m.shape,
+        block_size=bs,
+        n_shards=n_shards,
+        max_row_nnz=max_row,
+    )
+
+
+def sharded_dsd_ring(
+    a: BandedShardedBlockSparseMatrix,
+    b: jax.Array,
+    mesh: Mesh,
+    *,
+    axis: str = "x",
+    out_dtype=None,
+    **options,
+) -> jax.Array:
+    """Ring-overlapped SpMM (the TPU collective-matmul schedule):
+    C[rows sharded] = A_banded @ B[K sharded].
+
+    Where :func:`sharded_dsd` with ``b_sharded_k=True`` all-gathers the
+    whole dense operand up front (peak memory = full B per device),
+    the ring keeps exactly ONE B shard resident: at step t, device d
+    holds the K-band ``(d + t) % S`` (rotated over ICI with ``ppermute``)
+    and multiplies it against its matching local A column band. The next
+    shard's permute depends only on the CURRENT shard — not on the step's
+    compute — so XLA issues the collective asynchronously and the ICI
+    transfer overlaps the Pallas kernel (same dependence structure as
+    `parallel/ring_attention.py`). Partials accumulate in fp32.
+
+    Per-device B memory: ``k·n/S`` vs the gather's ``k·n``; bytes on the
+    wire are identical (each device still receives S-1 shards).
+    """
+    n_shards = a.n_shards
+    if mesh.shape[axis] != n_shards:
+        raise ValueError(
+            f"mesh axis {axis!r} has {mesh.shape[axis]} devices, "
+            f"operand has {n_shards} shards"
+        )
+    if b.shape[0] != a.shape[1]:
+        raise ValueError(f"contraction mismatch: A cols {a.shape[1]}, B rows {b.shape[0]}")
+    perm = [((i + 1) % n_shards, i) for i in range(n_shards)]
+
+    def local(data, offsets, indices, row_indices, b_local):
+        # data: (1, S, P, bs, bs); b_local: (k/S, n)
+        d = jax.lax.axis_index(axis)
+
+        def band_bsr(t):
+            j = jax.lax.rem(d + t, n_shards)
+            pick = lambda arr: jax.lax.dynamic_index_in_dim(
+                arr[0], j, axis=0, keepdims=False
+            )
+            return BlockSparseMatrix(
+                data=pick(data),
+                offsets=pick(offsets),
+                indices=pick(indices),
+                row_indices=pick(row_indices),
+                offsets_t=None,
+                indices_t=None,
+                block_offsets=None,
+                shape=(a.local_rows, a.shape[1] // n_shards),
+                block_size=a.block_size,
+                max_row_nnz=a.max_row_nnz,
+                max_col_nnz=None,
+            )
+
+        b_cur = b_local
+        acc = None
+        for t in range(n_shards):
+            if t + 1 < n_shards:  # issue the rotation before the compute
+                b_next = jax.lax.ppermute(b_cur, axis, perm)
+            part = bsr_dsd.dsd(
+                band_bsr(t), b_cur, out_dtype=jnp.float32, **options
+            )
+            acc = part if acc is None else acc + part
+            if t + 1 < n_shards:
+                b_cur = b_next
+        return acc.astype(out_dtype or b.dtype)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
         out_specs=P(axis),
         check_vma=False,
     )
