@@ -60,3 +60,21 @@ def test_no_collectives_when_replicated(rng, mesh):
         b, group_size=S,
     )
     assert rep["total_wire_bytes_per_device"] == 0
+
+
+@pytest.mark.smoke
+def test_ring_spmm_bytes_match_allgather_total(rng, mesh):
+    """The ring schedule moves exactly the all-gather's wire bytes — S-1
+    point-to-point permutes of one K-band each — while holding only one
+    band resident (the sharded_dsd_ring docstring claim, CI-pinned)."""
+    S, k, n = 8, 1024, 256
+    a = testing.random_bsr(rng, 1024, k, int(1024 * k * 0.25), 128)
+    banded = parallel.partition_bsr_rows_kbands(a, S)
+    b = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32))
+    rep = parallel.collective_bytes(
+        lambda b_: parallel.sharded_dsd_ring(banded, b_, mesh),
+        b, group_size=S,
+    )
+    band_bytes = (k // S) * n * 4
+    assert rep["by_kind"] == {"collective-permute": (S - 1) * band_bytes}
+    assert len([o for o in rep["ops"] if o["kind"] == "collective-permute"]) == S - 1
