@@ -13,7 +13,14 @@ On a multi-chip TPU slice this measures real ICI scaling. On a single chip
 the per-shard compile + run times plus the analytic comm model:
 
     t_comm(S) ~ (S-1)/S * |B| / ici_bw      (all-gather, bidirectional ring)
-    efficiency_model = t_compute / (t_compute + t_comm)
+    efficiency_model = t_compute / (t_compute + t_comm)        (serial)
+    efficiency_model_overlapped = t_compute / max(t_compute, t_comm)
+
+The overlapped row is what the ring schedule (`parallel.sharded_dsd_ring`)
+buys: each permute depends only on the in-flight shard, never on the
+step's compute, so the transfer hides under the kernel whenever
+t_comm <= t_compute (comm_audit CI-pins the ring's wire bytes to the
+all-gather's — the schedule changes WHEN bytes move, not how many).
 
 Run:  python -m sputnik_tpu.bench.weak_scaling [--rows-per-shard 131072]
       [--density 0.002] [--n 64] [--shards 1 2 4 8] [--cpu]
@@ -118,6 +125,9 @@ def run(rows_per_shard: int, density: float, n: int, shard_counts, use_cpu: bool
             # parallel.comm_audit), not a hand count.
             t_comm = r["wire_bytes_per_device"] / 45e9
             r["efficiency_model_ici"] = t1 / (t1 + t_comm)
+            # What comm/compute overlap buys (the ring schedule's
+            # dependence structure; see sharded_dsd_ring).
+            r["efficiency_model_ici_overlapped"] = t1 / max(t1, t_comm)
             if one_core:
                 r["note"] = (
                     "CPU-mesh virtual devices SERIALIZE on the host cores: "
