@@ -10,6 +10,7 @@ from sputnik_tpu.models.moe import (
 )
 from sputnik_tpu.models.moe import dropless_moe_forward, dropless_topology
 from sputnik_tpu.models.attention import (
+    topk_block_topology,
     flash_block_attention,
     band_topology,
     causal_block_topology,
@@ -38,6 +39,7 @@ __all__ = [
     "flash_block_attention",
     "band_topology",
     "causal_block_topology",
+    "topk_block_topology",
     "block_sparse_attention",
     "multihead_block_sparse_attention",
     "moe_parallel",

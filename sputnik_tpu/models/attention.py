@@ -27,6 +27,7 @@ __all__ = [
     "flash_block_attention",
     "band_topology",
     "causal_block_topology",
+    "topk_block_topology",
     "block_sparse_attention",
     "multihead_block_sparse_attention",
 ]
@@ -74,6 +75,70 @@ def causal_block_topology(
     if window_blocks is not None:
         mask &= (r - c) < window_blocks
     return _topology_from_mask(mask, seq_len, block_size, dtype)
+
+
+def topk_block_topology(
+    q: jax.Array,  # (T, dh)
+    k: jax.Array,  # (Tk, dh)
+    k_blocks: int,
+    *,
+    block_size: int = 128,
+    causal: bool = True,
+    include_local: bool = True,
+    dtype=None,
+) -> BlockSparseMatrix:
+    """Content-based topology: per query block, the top-``k_blocks`` key
+    blocks ranked by mean-pooled q·kᵀ block scores (the native-sparse- /
+    routing-attention selection rule), built ON DEVICE and jittable —
+    ``k_blocks`` is a static budget, so every block-row holds exactly
+    ``k_blocks`` entries: perfectly load-balanced for the output-stationary
+    kernels, and the topology can be recomputed per batch inside jit
+    without recompiles.
+
+    ``include_local`` forces each query block's diagonal key block into
+    the selection (guaranteeing at least one causally-valid block per
+    row). Under ``causal=True`` future blocks rank below every valid one;
+    rows too early to have ``k_blocks`` valid choices select some future
+    blocks, which ``bsr_softmax(..., causal=True)`` masks to exactly zero
+    probability — run the attention chain with ``causal=True``.
+
+    Beyond the reference (its topologies are caller-provided); the SDD
+    one-program-per-nonzero-block structure this feeds is
+    ``kernel.h:86-90``.
+    """
+    bs = block_size
+    t, tk = q.shape[0], k.shape[0]
+    if t % bs or tk % bs:
+        raise ValueError(f"seq lens ({t}, {tk}) not divisible by block {bs}")
+    s_q, s_k = t // bs, tk // bs
+    if not 1 <= k_blocks <= s_k:
+        raise ValueError(f"k_blocks {k_blocks} out of range [1, {s_k}]")
+    qp = q.reshape(s_q, bs, -1).mean(axis=1).astype(jnp.float32)
+    kp = k.reshape(s_k, bs, -1).mean(axis=1).astype(jnp.float32)
+    scores = qp @ kp.T  # (s_q, s_k) pooled block scores
+    r = jax.lax.broadcasted_iota(jnp.int32, (s_q, s_k), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (s_q, s_k), 1)
+    if causal:
+        # Rank every future block below every valid one, tie-broken by
+        # column so top_k picks DISTINCT fallback columns (no duplicates).
+        scores = jnp.where(c <= r, scores, -1e30 - c.astype(jnp.float32))
+    if include_local:
+        scores = jnp.where(c == jnp.minimum(r, s_k - 1), jnp.inf, scores)
+    _, idx = jax.lax.top_k(scores, k_blocks)  # (s_q, k_blocks) distinct cols
+    idx = jnp.sort(idx, axis=1)
+    offsets = jnp.arange(s_q + 1, dtype=jnp.int32) * k_blocks
+    indices = idx.reshape(-1).astype(jnp.int32)
+    row_indices = jnp.repeat(jnp.arange(s_q, dtype=jnp.int32), k_blocks)
+    data = jnp.zeros((s_q * k_blocks, bs, bs), dtype or q.dtype)
+    return BlockSparseMatrix.create(
+        data,
+        offsets,
+        indices,
+        (t, tk),
+        row_indices=row_indices,
+        max_row_nnz=k_blocks,
+        max_col_nnz=s_q,
+    )
 
 
 def block_sparse_attention(

@@ -142,3 +142,81 @@ def test_attention_grads_finite(rng):
     for g in (gq, gk, gv):
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).max()) > 0
+
+
+def test_topk_topology_selection(rng):
+    # Non-causal: the selected blocks are exactly the top-k pooled scores.
+    t, dh, bs, kb = 512, 64, 128, 2
+    q = jnp.asarray(rng.standard_normal((t, dh)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((t, dh)).astype(np.float32))
+    topo = models.topk_block_topology(q, k, kb, block_size=bs, causal=False,
+                                      include_local=False)
+    s = t // bs
+    assert topo.nnz_blocks == s * kb
+    qp = np.asarray(q).reshape(s, bs, dh).mean(1)
+    kp = np.asarray(k).reshape(s, bs, dh).mean(1)
+    scores = qp @ kp.T
+    idx = np.asarray(topo.indices).reshape(s, kb)
+    for r in range(s):
+        assert set(idx[r]) == set(np.argsort(scores[r])[-kb:])
+        assert (np.diff(idx[r]) > 0).all()  # sorted, distinct
+
+
+def test_topk_topology_causal_validity(rng):
+    t, bs, kb = 1024, 128, 3
+    q = jnp.asarray(rng.standard_normal((t, 64)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((t, 64)).astype(np.float32))
+    topo = models.topk_block_topology(q, k, kb, block_size=bs, causal=True)
+    s = t // bs
+    idx = np.asarray(topo.indices).reshape(s, kb)
+    for r in range(s):
+        assert r in idx[r]  # include_local forces the diagonal
+        if r >= kb - 1:  # enough valid blocks: every pick is causal
+            assert (idx[r] <= r).all()
+
+
+def test_topk_full_budget_matches_dense_causal(rng):
+    # k_blocks == all blocks: early rows necessarily select FUTURE blocks;
+    # bsr_softmax(causal=True) must mask them to exactly zero, making the
+    # chain equal dense causal attention.
+    t, dh, bs = 512, 64, 128
+    q = jnp.asarray(rng.standard_normal((t, dh)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((t, dh)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((t, dh)).astype(np.float32))
+    topo = models.topk_block_topology(q, k, t // bs, block_size=bs, causal=True,
+                                      dtype=jnp.float32)
+    out = models.block_sparse_attention(q, k, v, topo, causal=True)
+    scale = 1.0 / np.sqrt(dh)
+    p = _dense_masked_softmax(np.asarray(q) @ np.asarray(k).T * scale,
+                              np.ones((t, t), bool), causal=True)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               p @ np.asarray(v), atol=5e-2)
+
+
+def test_topk_topology_under_jit(rng):
+    t, dh, bs, kb = 512, 64, 128, 2
+    q = jnp.asarray(rng.standard_normal((t, dh)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((t, dh)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((t, dh)).astype(np.float32))
+
+    @jax.jit
+    def attn(q_, k_, v_):
+        topo = models.topk_block_topology(q_, k_, kb, block_size=bs, causal=True,
+                                          dtype=jnp.float32)
+        return models.block_sparse_attention(q_, k_, v_, topo, causal=True)
+
+    out = attn(q, k, v)
+    topo_e = models.topk_block_topology(q, k, kb, block_size=bs, causal=True,
+                                        dtype=jnp.float32)
+    out_e = models.block_sparse_attention(q, k, v, topo_e, causal=True)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(out_e, np.float32), atol=1e-4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_topk_topology_validation(rng):
+    q = jnp.zeros((512, 64)); k = jnp.zeros((512, 64))
+    with pytest.raises(ValueError):
+        models.topk_block_topology(q, k, 9, block_size=128)  # > s_k
+    with pytest.raises(ValueError):
+        models.topk_block_topology(jnp.zeros((500, 64)), k, 2, block_size=128)
