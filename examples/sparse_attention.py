@@ -58,6 +58,22 @@ def main():
     g = jax.grad(lambda q1: jnp.sum(sell_attention(q1, k[0], v[0]) ** 2))(q[0])
     print(f"dL/dq max |g| = {float(jnp.abs(g).max()):.4f}")
 
+    # --- content-based top-k selection (routing/NSA-style) ----------------
+    # The topology is recomputed from the data INSIDE jit: the block budget
+    # is static, so the step never recompiles across batches.
+    kb = 3
+
+    @jax.jit
+    def topk_attention(q1, k1, v1):
+        topo_t = attn.topk_block_topology(q1, k1, kb, causal=True,
+                                          dtype=jnp.float32)
+        return attn.block_sparse_attention(q1, k1, v1, topo_t, causal=True)
+
+    out3 = topk_attention(q[0], k[0], v[0])
+    dense_blocks = (seq // 128) ** 2
+    print(f"top-k content-based attention: {out3.shape}, "
+          f"{(seq // 128) * kb}/{dense_blocks} blocks selected per batch")
+
 
 if __name__ == "__main__":
     main()
