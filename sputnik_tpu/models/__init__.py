@@ -11,6 +11,7 @@ from sputnik_tpu.models.moe import (
 from sputnik_tpu.models.moe import dropless_moe_forward, dropless_topology
 from sputnik_tpu.models.attention import (
     topk_block_topology,
+    decode_topk_attention,
     flash_block_attention,
     band_topology,
     causal_block_topology,
@@ -40,6 +41,7 @@ __all__ = [
     "band_topology",
     "causal_block_topology",
     "topk_block_topology",
+    "decode_topk_attention",
     "block_sparse_attention",
     "multihead_block_sparse_attention",
     "moe_parallel",

@@ -28,6 +28,7 @@ __all__ = [
     "band_topology",
     "causal_block_topology",
     "topk_block_topology",
+    "decode_topk_attention",
     "block_sparse_attention",
     "multihead_block_sparse_attention",
 ]
@@ -139,6 +140,82 @@ def topk_block_topology(
         max_row_nnz=k_blocks,
         max_col_nnz=s_q,
     )
+
+
+def decode_topk_attention(
+    q: jax.Array,  # (dh,) or (H, dh) — one decode step
+    k_cache: jax.Array,  # (T, dh) or (H, T, dh)
+    v_cache: jax.Array,  # same shape as k_cache
+    k_blocks: int,
+    *,
+    block_size: int = 128,
+    valid_len: Optional[jax.Array | int] = None,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Single-token decode attention over a block-paged KV cache with
+    content-based page selection (the serving-side counterpart of
+    :func:`topk_block_topology`, Quest-style): rank the cache's
+    ``block_size``-sized pages by pooled ``q·k`` score, then run exact
+    softmax attention over ONLY the top ``k_blocks`` pages — KV bytes per
+    step drop from ``T·dh`` to ``k_blocks·block_size·dh``. The budget is
+    static, so the step jits once and serves any cache content.
+
+    ``valid_len`` masks cache positions ``>= valid_len`` (a partially
+    filled cache): masked positions get zero probability, and fully
+    invalid pages rank below every valid one so they are only selected
+    when fewer than ``k_blocks`` valid pages exist.
+    """
+    if q.ndim == 2:  # (H, dh): vmap heads over shared-per-head caches
+        return jax.vmap(
+            lambda q1, k1, v1: decode_topk_attention(
+                q1, k1, v1, k_blocks, block_size=block_size,
+                valid_len=valid_len, scale=scale,
+            )
+        )(q, k_cache, v_cache)
+    t, dh = k_cache.shape
+    bs = block_size
+    if t % bs:
+        raise ValueError(f"cache len {t} not divisible by block {bs}")
+    s_k = t // bs
+    if not 1 <= k_blocks <= s_k:
+        raise ValueError(f"k_blocks {k_blocks} out of range [1, {s_k}]")
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(dh))
+
+    kb3 = k_cache.reshape(s_k, bs, dh)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (s_k, bs), 0) * bs + \
+        jax.lax.broadcasted_iota(jnp.int32, (s_k, bs), 1)
+    if valid_len is not None:
+        vl = jnp.asarray(valid_len, jnp.int32)
+        valid = pos < vl  # (s_k, bs)
+        kpool = jnp.sum(
+            jnp.where(valid[:, :, None], kb3.astype(jnp.float32), 0.0), axis=1
+        ) / jnp.maximum(jnp.sum(valid, axis=1), 1)[:, None]
+    else:
+        valid = jnp.ones((s_k, bs), bool)
+        kpool = kb3.astype(jnp.float32).mean(axis=1)
+    page_scores = kpool @ q.astype(jnp.float32)  # (s_k,)
+    if valid_len is not None:
+        # Fully-invalid pages rank below every valid page, distinct order.
+        any_valid = jnp.any(valid, axis=1)
+        page_scores = jnp.where(
+            any_valid, page_scores,
+            -1e30 - jnp.arange(s_k, dtype=jnp.float32),
+        )
+    _, idx = jax.lax.top_k(page_scores, k_blocks)  # (k_blocks,) distinct
+
+    k_sel = jnp.take(kb3, idx, axis=0)  # (kb, bs, dh)
+    v_sel = jnp.take(v_cache.reshape(s_k, bs, dh), idx, axis=0)
+    sel_valid = jnp.take(valid, idx, axis=0)  # (kb, bs)
+    scores = jnp.einsum(
+        "kbd,d->kb", k_sel.astype(jnp.float32), q.astype(jnp.float32)
+    ) * scale
+    scores = jnp.where(sel_valid, scores, -jnp.inf)
+    m = jnp.maximum(jnp.max(scores), -3e38)  # all-masked guard
+    e = jnp.where(sel_valid, jnp.exp(scores - m), 0.0)
+    denom = jnp.maximum(jnp.sum(e), 1e-30)
+    out = jnp.einsum("kb,kbd->d", e, v_sel.astype(jnp.float32)) / denom
+    return out.astype(q.dtype)
 
 
 def block_sparse_attention(

@@ -220,3 +220,68 @@ def test_topk_topology_validation(rng):
         models.topk_block_topology(q, k, 9, block_size=128)  # > s_k
     with pytest.raises(ValueError):
         models.topk_block_topology(jnp.zeros((500, 64)), k, 2, block_size=128)
+
+
+
+
+def test_decode_topk_full_budget_matches_dense(rng):
+    t, dh, bs = 1024, 64, 128
+    q = jnp.asarray(rng.standard_normal(dh).astype(np.float32))
+    kc = jnp.asarray(rng.standard_normal((t, dh)).astype(np.float32))
+    vc = jnp.asarray(rng.standard_normal((t, dh)).astype(np.float32))
+    out = models.decode_topk_attention(q, kc, vc, t // bs, block_size=bs)
+    s = np.asarray(kc) @ np.asarray(q) / np.sqrt(dh)
+    p = np.exp(s - s.max()); p /= p.sum()
+    np.testing.assert_allclose(np.asarray(out), p @ np.asarray(vc), atol=1e-4)
+
+
+def test_decode_topk_partial_budget_matches_page_oracle(rng):
+    t, dh, bs, kb = 1024, 64, 128, 3
+    q = jnp.asarray(rng.standard_normal(dh).astype(np.float32))
+    kc = jnp.asarray(rng.standard_normal((t, dh)).astype(np.float32))
+    vc = jnp.asarray(rng.standard_normal((t, dh)).astype(np.float32))
+    out = models.decode_topk_attention(q, kc, vc, kb, block_size=bs)
+    # Oracle: same page selection rule in numpy, exact attention over them.
+    kp = np.asarray(kc).reshape(t // bs, bs, dh).mean(1)
+    pages = np.argsort(kp @ np.asarray(q))[-kb:]
+    sel = np.sort(np.concatenate([np.arange(p * bs, (p + 1) * bs) for p in pages]))
+    s = np.asarray(kc)[sel] @ np.asarray(q) / np.sqrt(dh)
+    p = np.exp(s - s.max()); p /= p.sum()
+    np.testing.assert_allclose(np.asarray(out), p @ np.asarray(vc)[sel], atol=1e-4)
+
+
+def test_decode_topk_valid_len_masks_cache_tail(rng):
+    t, dh, bs = 512, 64, 128
+    q = jnp.asarray(rng.standard_normal(dh).astype(np.float32))
+    kc = rng.standard_normal((t, dh)).astype(np.float32)
+    vc = rng.standard_normal((t, dh)).astype(np.float32)
+    vl = 200  # only 200 positions filled (pages 0 and 1, page 1 partial)
+    # Poison the invalid tail: must not affect the output at all.
+    kc_poison = kc.copy(); kc_poison[vl:] = 1e6
+    vc_poison = vc.copy(); vc_poison[vl:] = -1e6
+    out = models.decode_topk_attention(
+        jnp.asarray(q), jnp.asarray(kc_poison), jnp.asarray(vc_poison),
+        4, block_size=bs, valid_len=vl,
+    )
+    s = kc[:vl] @ q / np.sqrt(dh)
+    p = np.exp(s - s.max()); p /= p.sum()
+    np.testing.assert_allclose(np.asarray(out), p @ vc[:vl], atol=1e-4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_decode_topk_multihead_and_jit(rng):
+    h, t, dh, kb = 4, 512, 64, 2
+    q = jnp.asarray(rng.standard_normal((h, dh)).astype(np.float32))
+    kc = jnp.asarray(rng.standard_normal((h, t, dh)).astype(np.float32))
+    vc = jnp.asarray(rng.standard_normal((h, t, dh)).astype(np.float32))
+    f = jax.jit(lambda q_, k_, v_, vl: models.decode_topk_attention(
+        q_, k_, v_, kb, valid_len=vl))
+    out = f(q, kc, vc, 512)
+    assert out.shape == (h, dh)
+    # Each head independently equals the single-head path.
+    for i in range(h):
+        ref = models.decode_topk_attention(q[i], kc[i], vc[i], kb, valid_len=512)
+        np.testing.assert_allclose(np.asarray(out[i]), np.asarray(ref), atol=1e-5)
+    # Growing valid_len reuses the same compiled step (shapes static).
+    out2 = f(q, kc, vc, 384)
+    assert np.isfinite(np.asarray(out2)).all()
