@@ -22,16 +22,9 @@ import os
 import sys
 
 import numpy as np
+import _common  # noqa: F401  (repo path + JAX_PLATFORMS bootstrap)
 import jax
-# The axon TPU plugin ignores the JAX_PLATFORMS environment variable;
-# honor it through the config API so CPU runs work with the tunnel down.
-import os as _os
-if _os.environ.get("JAX_PLATFORMS"):
-    jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
-
 import jax.numpy as jnp
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from sputnik_tpu.formats import SellMatrix, csr_from_dense
 from sputnik_tpu.ops import csr as csr_ops
@@ -116,7 +109,7 @@ def block_rigl_demo():
     data = m.data
     for step in range(61):
         loss, data = train_step(data, m)
-        if step and step % 20 == 0:
+        if step in (20, 40):
             before = {(int(r), int(c)) for r, c in
                       zip(np.asarray(m.row_indices), np.asarray(m.indices))}
             m = prune.rigl_block_update(m.with_data(data), dense_grad(m.with_data(data)),
@@ -126,7 +119,7 @@ def block_rigl_demo():
                      zip(np.asarray(m.row_indices), np.asarray(m.indices))}
             print(f"step {step}: loss {float(loss):.5f}, RigL refresh swapped "
                   f"{len(after - before)} blocks (budget {m.nnz_blocks})")
-        elif step % 20 == 0 or step == 60:
+        elif step % 20 == 0 or step == 60:  # 0 and the final step
             print(f"step {step}: loss {float(loss):.5f}")
     print("block-RigL sparse fine-tune complete")
 

@@ -5,13 +5,8 @@ Run: python examples/sparse_transformer_lm.py
 """
 
 import numpy as np
+import _common  # noqa: F401  (repo path + JAX_PLATFORMS bootstrap)
 import jax
-# The axon TPU plugin ignores the JAX_PLATFORMS environment variable;
-# honor it through the config API so CPU runs work with the tunnel down.
-import os as _os
-if _os.environ.get("JAX_PLATFORMS"):
-    jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
-
 import jax.numpy as jnp
 import optax
 

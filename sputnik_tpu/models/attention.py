@@ -120,9 +120,13 @@ def topk_block_topology(
     r = jax.lax.broadcasted_iota(jnp.int32, (s_q, s_k), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (s_q, s_k), 1)
     if causal:
-        # Rank every future block below every valid one, tie-broken by
-        # column so top_k picks DISTINCT fallback columns (no duplicates).
-        scores = jnp.where(c <= r, scores, -1e30 - c.astype(jnp.float32))
+        # Rank every future block below every valid one. top_k indices are
+        # distinct by construction; the column term only makes WHICH
+        # fallback columns win deterministic (its 1024 step exceeds the
+        # f32 ulp at 1e9, which a plain -c offset would not).
+        scores = jnp.where(
+            c <= r, scores, -1e9 - c.astype(jnp.float32) * 1024.0
+        )
     if include_local:
         scores = jnp.where(c == jnp.minimum(r, s_k - 1), jnp.inf, scores)
     _, idx = jax.lax.top_k(scores, k_blocks)  # (s_q, k_blocks) distinct cols
@@ -200,7 +204,7 @@ def decode_topk_attention(
         any_valid = jnp.any(valid, axis=1)
         page_scores = jnp.where(
             any_valid, page_scores,
-            -1e30 - jnp.arange(s_k, dtype=jnp.float32),
+            -1e9 - jnp.arange(s_k, dtype=jnp.float32) * 1024.0,
         )
     _, idx = jax.lax.top_k(page_scores, k_blocks)  # (k_blocks,) distinct
 

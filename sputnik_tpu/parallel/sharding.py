@@ -303,7 +303,14 @@ def partition_bsr_rows_kbands(
     m: BlockSparseMatrix, n_shards: int
 ) -> BandedShardedBlockSparseMatrix:
     """Split a BSR into ``n_shards`` row bands × ``n_shards`` K-bands
-    (host-side), the operand layout :func:`sharded_dsd_ring` consumes."""
+    (host-side), the operand layout :func:`sharded_dsd_ring` consumes.
+
+    Every (shard, band) cell pads to the GLOBAL max cell occupancy so the
+    stacked arrays are rectangular: near-uniform topologies pad ~nothing,
+    but a matrix concentrated in few cells inflates A-side storage and
+    ring compute by up to S² (vs the row partitioner's S). The ring's
+    memory win is on the DENSE side (k·n/S resident); for heavily skewed
+    sparse operands prefer ``sharded_dsd(b_sharded_k=True)``."""
     if m.block_rows % n_shards:
         raise ValueError(f"block_rows {m.block_rows} not divisible by {n_shards}")
     if m.block_cols % n_shards:
@@ -315,7 +322,7 @@ def partition_bsr_rows_kbands(
     rowid = np.asarray(m.row_indices)
     data = np.asarray(m.data)
 
-    cells = []  # (s, j) -> (data, offsets, indices, row_indices)
+    cells = []  # (s, j) -> (data, indices, row_indices); offsets built below
     for s in range(n_shards):
         lo, hi = offs[s * rows_per], offs[(s + 1) * rows_per]
         i_s, r_s, d_s = idx[lo:hi], rowid[lo:hi] - s * rows_per, data[lo:hi]
