@@ -69,6 +69,17 @@ def main():
     print(f"top-k content-based attention: {out3.shape}, "
           f"{(seq // 128) * kb}/{dense_blocks} blocks selected per batch")
 
+    # --- decode step over a paged KV cache (serving) ----------------------
+    # One compiled step serves the growing cache: the page budget is
+    # static; valid_len masks the unfilled tail exactly.
+    decode = jax.jit(lambda q1, k1, v1, vl: attn.decode_topk_attention(
+        q1, k1, v1, kb, valid_len=vl))
+    q_tok = q[:, -1]  # (H, dh) current token's query
+    for filled in (300, 700, seq):
+        tok = decode(q_tok, k, v, filled)
+    print(f"paged-KV decode: {tok.shape} per step, {kb} of {seq // 128} "
+          f"pages read (same compiled step for every fill level)")
+
 
 if __name__ == "__main__":
     main()
