@@ -12,6 +12,7 @@ from sputnik_tpu.models.moe import dropless_moe_forward, dropless_topology
 from sputnik_tpu.models.attention import (
     topk_block_topology,
     decode_topk_attention,
+    decode_band_attention,
     flash_block_attention,
     band_topology,
     causal_block_topology,
@@ -28,6 +29,12 @@ from sputnik_tpu.models.transformer import (
     lm_loss,
 )
 from sputnik_tpu.models.transformer import lm_topologies
+from sputnik_tpu.models.transformer import (
+    init_decode_caches,
+    lm_prefill,
+    lm_decode_step,
+    lm_generate,
+)
 
 __all__ = [
     "MoEConfig",
@@ -42,6 +49,7 @@ __all__ = [
     "causal_block_topology",
     "topk_block_topology",
     "decode_topk_attention",
+    "decode_band_attention",
     "block_sparse_attention",
     "multihead_block_sparse_attention",
     "moe_parallel",
@@ -52,4 +60,8 @@ __all__ = [
     "lm_forward",
     "lm_loss",
     "lm_topologies",
+    "init_decode_caches",
+    "lm_prefill",
+    "lm_decode_step",
+    "lm_generate",
 ]

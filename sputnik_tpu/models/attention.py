@@ -29,6 +29,7 @@ __all__ = [
     "causal_block_topology",
     "topk_block_topology",
     "decode_topk_attention",
+    "decode_band_attention",
     "block_sparse_attention",
     "multihead_block_sparse_attention",
 ]
@@ -208,9 +209,19 @@ def decode_topk_attention(
         )
     _, idx = jax.lax.top_k(page_scores, k_blocks)  # (k_blocks,) distinct
 
-    k_sel = jnp.take(kb3, idx, axis=0)  # (kb, bs, dh)
-    v_sel = jnp.take(v_cache.reshape(s_k, bs, dh), idx, axis=0)
-    sel_valid = jnp.take(valid, idx, axis=0)  # (kb, bs)
+    vb3 = v_cache.reshape(s_k, bs, dh)
+    return _attend_pages(
+        q,
+        jnp.take(kb3, idx, axis=0),
+        jnp.take(vb3, idx, axis=0),
+        jnp.take(valid, idx, axis=0),
+        scale,
+    )
+
+
+def _attend_pages(q, k_sel, v_sel, sel_valid, scale):
+    """Exact softmax attention of one query over gathered KV pages:
+    q (dh,), k_sel/v_sel (n, bs, dh), sel_valid (n, bs) position mask."""
     scores = jnp.einsum(
         "kbd,d->kb", k_sel.astype(jnp.float32), q.astype(jnp.float32)
     ) * scale
@@ -220,6 +231,57 @@ def decode_topk_attention(
     denom = jnp.maximum(jnp.sum(e), 1e-30)
     out = jnp.einsum("kb,kbd->d", e, v_sel.astype(jnp.float32)) / denom
     return out.astype(q.dtype)
+
+
+def decode_band_attention(
+    q: jax.Array,  # (dh,) or (H, dh)
+    k_cache: jax.Array,  # (T, dh) or (H, T, dh)
+    v_cache: jax.Array,
+    window_blocks: int,
+    pos: jax.Array | int,
+    *,
+    block_size: int = 128,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Decode-step attention matching the TRAINING band topology: the token
+    at ``pos`` attends to cache pages ``(pos//bs - window_blocks, pos//bs]``
+    with the causal position mask ``<= pos`` — exactly the mask
+    :func:`causal_block_topology`/:func:`band_topology` + causal softmax
+    apply during training, so incremental decoding reproduces the full
+    forward pass logits (see ``models/transformer.py::lm_generate``).
+    Reads ``window_blocks`` pages per step regardless of cache length."""
+    if q.ndim == 2:
+        return jax.vmap(
+            lambda q1, k1, v1: decode_band_attention(
+                q1, k1, v1, window_blocks, pos, block_size=block_size,
+                scale=scale,
+            )
+        )(q, k_cache, v_cache)
+    t, dh = k_cache.shape
+    bs = block_size
+    if t % bs:
+        raise ValueError(f"cache len {t} not divisible by block {bs}")
+    s_k = t // bs
+    if not 1 <= window_blocks <= s_k:
+        raise ValueError(f"window_blocks {window_blocks} out of range [1, {s_k}]")
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(dh))
+    pos = jnp.asarray(pos, jnp.int32)
+    r = pos // bs
+    pages = r - window_blocks + 1 + jnp.arange(window_blocks, dtype=jnp.int32)
+    page_ok = pages >= 0  # early positions: window clipped at the start
+    idx = jnp.maximum(pages, 0)
+    pp = jax.lax.broadcasted_iota(jnp.int32, (s_k, bs), 0) * bs + \
+        jax.lax.broadcasted_iota(jnp.int32, (s_k, bs), 1)
+    valid = pp <= pos  # causal
+    kb3 = k_cache.reshape(s_k, bs, dh)
+    vb3 = v_cache.reshape(s_k, bs, dh)
+    # Clipped (negative) pages must not contribute: fold the page mask into
+    # the per-position mask gathered for the selected pages.
+    sel_valid = jnp.take(valid, idx, axis=0) & page_ok[:, None]
+    return _attend_pages(
+        q, jnp.take(kb3, idx, axis=0), jnp.take(vb3, idx, axis=0), sel_valid, scale
+    )
 
 
 def block_sparse_attention(

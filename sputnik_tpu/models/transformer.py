@@ -32,6 +32,11 @@ __all__ = [
     "init_lm_params",
     "lm_forward",
     "lm_loss",
+    "init_decode_caches",
+    "block_decode",
+    "lm_prefill",
+    "lm_decode_step",
+    "lm_generate",
 ]
 
 
@@ -167,3 +172,154 @@ def lm_loss(params, tokens, cfg: TransformerConfig, topos=None) -> jax.Array:
     lp = jax.nn.log_softmax(logits[:-1].astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(lp, targets[:, None], axis=-1).mean()
     return nll + 0.01 * aux
+
+
+# ---------------------------------------------------------------------------
+# Incremental decoding (serving): per-layer paged KV caches + the band
+# decode attention (exactly the training topology's mask) or content-based
+# top-k pages. No reference analogue (kernel library); this is the
+# generation loop MegaBlocks-style models need on top.
+# ---------------------------------------------------------------------------
+
+
+def init_decode_caches(cfg: TransformerConfig, max_len: int):
+    """Per-layer (k, v) caches of shape (H, max_len, dh), zero-filled.
+    ``max_len`` must be a multiple of 128 (the page size)."""
+    if max_len % 128:
+        raise ValueError(f"max_len {max_len} must be a multiple of 128")
+    h, dh = cfg.n_heads, cfg.d_head
+    z = jnp.zeros((h, max_len, dh), cfg.dtype)
+    return [{"k": z, "v": z} for _ in range(cfg.n_layers)]
+
+
+def _qkv_one(params, a_in, cfg):
+    qkv = jnp.dot(a_in, params["wqkv"], preferred_element_type=jnp.float32)
+    return qkv.astype(cfg.dtype).reshape(3, cfg.n_heads, cfg.d_head)
+
+
+def _moe_one(params, x, cfg: TransformerConfig):
+    """Single-token top-1 MoE FFN: y = prob * expert(x) — exactly the
+    per-token semantics of ``moe_forward`` when no token is dropped."""
+    mp = params["moe"]
+    d, f = cfg.d_model, cfg.d_ff
+    logits = jnp.dot(
+        x.astype(cfg.dtype), mp["router"].astype(cfg.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    probs = jax.nn.softmax(logits, axis=-1)
+    e = jnp.argmax(probs)
+    prob = jnp.max(probs)
+    w1_e = jax.lax.dynamic_slice(mp["w1"], (0, e * f), (d, f))
+    w2_e = jax.lax.dynamic_slice(mp["w2"], (e * f, 0), (f, d))
+    h = jnp.dot(x.astype(cfg.dtype), w1_e, preferred_element_type=jnp.float32)
+    h = jax.nn.gelu(h).astype(cfg.dtype)
+    y = jnp.dot(h, w2_e, preferred_element_type=jnp.float32)
+    return (y * prob).astype(cfg.dtype)
+
+
+def block_decode(params, x, cfg: TransformerConfig, cache, pos, *, mode="band",
+                 k_pages: Optional[int] = None):
+    """One transformer block for ONE token at position ``pos``.
+    Returns (y (d,), updated cache). ``mode="band"`` reproduces the
+    training band topology's mask exactly; ``mode="topk"`` selects
+    ``k_pages`` cache pages by content (quality depends on the model)."""
+    a_in = _layernorm(x[None], params["ln1_scale"], params["ln1_bias"])[0]
+    q, k_new, v_new = _qkv_one(params, a_in, cfg)
+    cache = {
+        "k": cache["k"].at[:, pos].set(k_new),
+        "v": cache["v"].at[:, pos].set(v_new),
+    }
+    if mode == "band":
+        o = attn_lib.decode_band_attention(
+            q, cache["k"], cache["v"], cfg.window_blocks, pos
+        )
+    elif mode == "topk":
+        o = attn_lib.decode_topk_attention(
+            q, cache["k"], cache["v"], k_pages or cfg.window_blocks,
+            valid_len=pos + 1,
+        )
+    else:
+        raise ValueError(f"mode must be 'band' or 'topk', got {mode!r}")
+    x = x + jnp.dot(
+        o.reshape(cfg.d_model), params["wo"], preferred_element_type=jnp.float32
+    ).astype(cfg.dtype)
+    f_in = _layernorm(x[None], params["ln2_scale"], params["ln2_bias"])[0]
+    return x + _moe_one(params, f_in, cfg), cache
+
+
+def lm_prefill(params, prompt: jax.Array, cfg: TransformerConfig, max_len: int):
+    """Run the FULL sparse forward over the prompt, capturing per-layer KV
+    into decode caches. Returns (caches, last-position logits). The K/V
+    projection is recomputed outside ``block_forward`` (a second wqkv pass
+    over the prompt — one-time prefill cost, keeps the training forward
+    untouched)."""
+    tp = int(prompt.shape[0])
+    if tp % 128 or tp > max_len:
+        raise ValueError(f"prompt length {tp} must be a 128-multiple <= {max_len}")
+    pre_cfg = dataclasses.replace(cfg, seq_len=tp)
+    topo, moe_topo = lm_topologies(pre_cfg)
+    caches = init_decode_caches(cfg, max_len)
+    x = jnp.take(params["embed"], prompt, axis=0)
+    for li, bp in enumerate(params["blocks"]):
+        a_in = _layernorm(x, bp["ln1_scale"], bp["ln1_bias"])
+        qkv = jnp.dot(a_in, bp["wqkv"], preferred_element_type=jnp.float32)
+        qkv = qkv.astype(cfg.dtype).reshape(tp, 3, cfg.n_heads, cfg.d_head)
+        k = jnp.transpose(qkv[:, 1], (1, 0, 2))
+        v = jnp.transpose(qkv[:, 2], (1, 0, 2))
+        caches[li] = {
+            "k": caches[li]["k"].at[:, :tp].set(k),
+            "v": caches[li]["v"].at[:, :tp].set(v),
+        }
+        x, _aux = block_forward(bp, x, pre_cfg, topo, moe_topo)
+    x = _layernorm(x, params["lnf_scale"], params["lnf_bias"])
+    logits = jnp.dot(x[-1], params["embed"].T, preferred_element_type=jnp.float32)
+    return caches, logits
+
+
+def lm_decode_step(params, token, caches, pos, cfg: TransformerConfig, *,
+                   mode="band", k_pages: Optional[int] = None):
+    """One decode step: token id -> (logits (vocab,), updated caches).
+    ``pos`` is traced, so ONE compiled step serves the whole generation."""
+    x = jnp.take(params["embed"], token, axis=0)
+    new_caches = []
+    for bp, cache in zip(params["blocks"], caches):
+        x, cache = block_decode(bp, x, cfg, cache, pos, mode=mode, k_pages=k_pages)
+        new_caches.append(cache)
+    x = _layernorm(x[None], params["lnf_scale"], params["lnf_bias"])[0]
+    logits = jnp.dot(x, params["embed"].T, preferred_element_type=jnp.float32)
+    return logits, new_caches
+
+
+def lm_generate(
+    params,
+    prompt: jax.Array,  # (Tp,) int32, Tp a multiple of 128
+    cfg: TransformerConfig,
+    n_new: int,
+    *,
+    max_len: Optional[int] = None,
+    mode: str = "band",
+    k_pages: Optional[int] = None,
+) -> jax.Array:
+    """Greedy generation: prefill the prompt through the FULL sparse
+    forward pass (capturing per-layer KV), then decode token by token
+    through the paged cache. With ``mode="band"`` (and a capacity that
+    drops no tokens) each decoded step's logits equal the full forward
+    pass's — CI-pinned by ``tests/test_transformer.py``.
+
+    Returns the (n_new,) generated token ids."""
+    tp = int(prompt.shape[0])
+    max_len = max_len or cfg.seq_len
+    caches, logits = lm_prefill(params, prompt, cfg, max_len)
+    token = jnp.argmax(logits).astype(jnp.int32)
+
+    step = jax.jit(
+        lambda p, t, c, pos: lm_decode_step(
+            p, t, c, pos, cfg, mode=mode, k_pages=k_pages
+        )
+    )
+    out = [token]
+    for i in range(n_new - 1):
+        logits, caches = step(params, token, caches, jnp.int32(tp + i))
+        token = jnp.argmax(logits).astype(jnp.int32)
+        out.append(token)
+    return jnp.stack(out)

@@ -285,3 +285,21 @@ def test_decode_topk_multihead_and_jit(rng):
     # Growing valid_len reuses the same compiled step (shapes static).
     out2 = f(q, kc, vc, 384)
     assert np.isfinite(np.asarray(out2)).all()
+
+
+def test_decode_band_matches_masked_oracle(rng):
+    t, dh, bs, w = 1024, 64, 128, 2
+    q = jnp.asarray(rng.standard_normal(dh).astype(np.float32))
+    kc = jnp.asarray(rng.standard_normal((t, dh)).astype(np.float32))
+    vc = jnp.asarray(rng.standard_normal((t, dh)).astype(np.float32))
+    for pos in (5, 130, 700):  # window-clipped, 2-page, mid-cache
+        out = models.decode_band_attention(q, kc, vc, w, pos, block_size=bs)
+        r = pos // bs
+        lo = max(0, (r - w + 1) * bs)
+        sel = np.arange(lo, pos + 1)
+        s = np.asarray(kc)[sel] @ np.asarray(q) / np.sqrt(dh)
+        p = np.exp(s - s.max()); p /= p.sum()
+        np.testing.assert_allclose(
+            np.asarray(out), p @ np.asarray(vc)[sel], atol=1e-4,
+            err_msg=f"pos {pos}",
+        )

@@ -94,3 +94,47 @@ def test_save_load_roundtrip(rng, tmp_path, kind):
         np.asarray(m2.to_dense(), np.float32),
         atol=1e-6,
     )
+
+
+def test_decode_matches_full_forward(rng):
+    """Teacher-forced incremental decoding (band mode) reproduces the full
+    sparse forward pass's logits at every decoded position."""
+    cfg = models.TransformerConfig(
+        d_model=128, n_heads=2, seq_len=256, window_blocks=2, n_experts=2,
+        d_ff=128, n_layers=2, vocab=64, dtype=jnp.float32, capacity=256,
+    )
+    params = models.init_lm_params(jax.random.PRNGKey(0), cfg)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab, cfg.seq_len), jnp.int32)
+    full_logits, _ = models.lm_forward(params, tokens, cfg)
+
+    tp = 128
+    caches, pre_logits = models.lm_prefill(params, tokens[:tp], cfg, cfg.seq_len)
+    np.testing.assert_allclose(
+        np.asarray(pre_logits), np.asarray(full_logits[tp - 1]), atol=2e-3
+    )
+    step = jax.jit(
+        lambda p, t, c, pos: models.lm_decode_step(p, t, c, pos, cfg)
+    )
+    for pos in range(tp, cfg.seq_len):
+        logits, caches = step(params, tokens[pos], caches, jnp.int32(pos))
+        np.testing.assert_allclose(
+            np.asarray(logits), np.asarray(full_logits[pos]), atol=2e-3,
+            err_msg=f"decode logits diverge at position {pos}",
+        )
+
+
+def test_lm_generate_runs_and_is_deterministic(rng):
+    cfg = models.TransformerConfig(
+        d_model=128, n_heads=2, seq_len=256, window_blocks=2, n_experts=2,
+        d_ff=128, n_layers=1, vocab=64, dtype=jnp.float32, capacity=256,
+    )
+    params = models.init_lm_params(jax.random.PRNGKey(1), cfg)
+    prompt = jnp.asarray(rng.integers(0, cfg.vocab, 128), jnp.int32)
+    out1 = models.lm_generate(params, prompt, cfg, 16)
+    out2 = models.lm_generate(params, prompt, cfg, 16)
+    assert out1.shape == (16,)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    assert ((np.asarray(out1) >= 0) & (np.asarray(out1) < cfg.vocab)).all()
+    # topk mode also runs (content-selected pages).
+    out3 = models.lm_generate(params, prompt, cfg, 4, mode="topk", k_pages=1)
+    assert out3.shape == (4,)
