@@ -307,8 +307,14 @@ def lm_generate(
     pass's — CI-pinned by ``tests/test_transformer.py``.
 
     Returns the (n_new,) generated token ids."""
+    if n_new < 1:
+        raise ValueError(f"n_new must be >= 1, got {n_new}")
     tp = int(prompt.shape[0])
     max_len = max_len or cfg.seq_len
+    if tp + n_new > max_len:
+        raise ValueError(
+            f"prompt ({tp}) + n_new ({n_new}) exceeds max_len {max_len}"
+        )
     caches, logits = lm_prefill(params, prompt, cfg, max_len)
     token = jnp.argmax(logits).astype(jnp.int32)
 

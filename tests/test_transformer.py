@@ -138,3 +138,18 @@ def test_lm_generate_runs_and_is_deterministic(rng):
     # topk mode also runs (content-selected pages).
     out3 = models.lm_generate(params, prompt, cfg, 4, mode="topk", k_pages=1)
     assert out3.shape == (4,)
+
+
+def test_lm_generate_validation(rng):
+    cfg = models.TransformerConfig(
+        d_model=128, n_heads=2, seq_len=256, window_blocks=2, n_experts=2,
+        d_ff=128, n_layers=1, vocab=64, dtype=jnp.float32, capacity=256,
+    )
+    params = models.init_lm_params(jax.random.PRNGKey(1), cfg)
+    prompt = jnp.asarray(rng.integers(0, cfg.vocab, 128), jnp.int32)
+    with pytest.raises(ValueError):
+        models.lm_generate(params, prompt, cfg, 0)
+    with pytest.raises(ValueError):
+        models.lm_generate(params, prompt, cfg, 1000)  # exceeds max_len
+    with pytest.raises(ValueError):
+        models.lm_generate(params, prompt[:100], cfg, 4)  # non-128 prompt
