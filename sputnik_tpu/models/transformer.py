@@ -299,14 +299,20 @@ def lm_generate(
     max_len: Optional[int] = None,
     mode: str = "band",
     k_pages: Optional[int] = None,
+    temperature: float = 0.0,
+    key: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Greedy generation: prefill the prompt through the FULL sparse
-    forward pass (capturing per-layer KV), then decode token by token
-    through the paged cache. With ``mode="band"`` (and a capacity that
-    drops no tokens) each decoded step's logits equal the full forward
-    pass's — CI-pinned by ``tests/test_transformer.py``.
+    """Generation: prefill the prompt through the FULL sparse forward
+    pass (capturing per-layer KV), then decode token by token through the
+    paged cache. ``temperature=0`` is greedy; ``temperature > 0`` samples
+    from ``softmax(logits / temperature)`` using ``key``. With
+    ``mode="band"`` (and a capacity that drops no tokens) each decoded
+    step's logits equal the full forward pass's — CI-pinned by
+    ``tests/test_transformer.py``.
 
     Returns the (n_new,) generated token ids."""
+    if temperature > 0.0 and key is None:
+        raise ValueError("sampling (temperature > 0) needs a PRNG key")
     if n_new < 1:
         raise ValueError(f"n_new must be >= 1, got {n_new}")
     tp = int(prompt.shape[0])
@@ -315,8 +321,16 @@ def lm_generate(
         raise ValueError(
             f"prompt ({tp}) + n_new ({n_new}) exceeds max_len {max_len}"
         )
+    def pick(logits, k):
+        if temperature <= 0.0:
+            return jnp.argmax(logits).astype(jnp.int32)
+        return jax.random.categorical(k, logits / temperature).astype(jnp.int32)
+
+    keys = (
+        jax.random.split(key, n_new) if temperature > 0.0 else [None] * n_new
+    )
     caches, logits = lm_prefill(params, prompt, cfg, max_len)
-    token = jnp.argmax(logits).astype(jnp.int32)
+    token = pick(logits, keys[0])
 
     step = jax.jit(
         lambda p, t, c, pos: lm_decode_step(
@@ -326,6 +340,6 @@ def lm_generate(
     out = [token]
     for i in range(n_new - 1):
         logits, caches = step(params, token, caches, jnp.int32(tp + i))
-        token = jnp.argmax(logits).astype(jnp.int32)
+        token = pick(logits, keys[i + 1])
         out.append(token)
     return jnp.stack(out)

@@ -153,3 +153,20 @@ def test_lm_generate_validation(rng):
         models.lm_generate(params, prompt, cfg, 1000)  # exceeds max_len
     with pytest.raises(ValueError):
         models.lm_generate(params, prompt[:100], cfg, 4)  # non-128 prompt
+
+
+def test_lm_generate_sampling(rng):
+    cfg = models.TransformerConfig(
+        d_model=128, n_heads=2, seq_len=256, window_blocks=2, n_experts=2,
+        d_ff=128, n_layers=1, vocab=64, dtype=jnp.float32, capacity=256,
+    )
+    params = models.init_lm_params(jax.random.PRNGKey(1), cfg)
+    prompt = jnp.asarray(rng.integers(0, cfg.vocab, 128), jnp.int32)
+    s1 = models.lm_generate(params, prompt, cfg, 8, temperature=1.0,
+                            key=jax.random.PRNGKey(0))
+    s2 = models.lm_generate(params, prompt, cfg, 8, temperature=1.0,
+                            key=jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))  # same key
+    assert ((np.asarray(s1) >= 0) & (np.asarray(s1) < cfg.vocab)).all()
+    with pytest.raises(ValueError):
+        models.lm_generate(params, prompt, cfg, 4, temperature=1.0)  # no key
