@@ -271,14 +271,13 @@ def decode_band_attention(
     pages = r - window_blocks + 1 + jnp.arange(window_blocks, dtype=jnp.int32)
     page_ok = pages >= 0  # early positions: window clipped at the start
     idx = jnp.maximum(pages, 0)
-    pp = jax.lax.broadcasted_iota(jnp.int32, (s_k, bs), 0) * bs + \
-        jax.lax.broadcasted_iota(jnp.int32, (s_k, bs), 1)
-    valid = pp <= pos  # causal
     kb3 = k_cache.reshape(s_k, bs, dh)
     vb3 = v_cache.reshape(s_k, bs, dh)
-    # Clipped (negative) pages must not contribute: fold the page mask into
-    # the per-position mask gathered for the selected pages.
-    sel_valid = jnp.take(valid, idx, axis=0) & page_ok[:, None]
+    # O(window*bs) validity: causal position mask on the SELECTED pages
+    # only (never materialize a cache-length grid on the decode hot path),
+    # with clipped (negative) pages masked out entirely.
+    sel_pos = idx[:, None] * bs + jnp.arange(bs, dtype=jnp.int32)[None, :]
+    sel_valid = (sel_pos <= pos) & page_ok[:, None]
     return _attend_pages(
         q, jnp.take(kb3, idx, axis=0), jnp.take(vb3, idx, axis=0), sel_valid, scale
     )

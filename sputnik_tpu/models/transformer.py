@@ -15,6 +15,7 @@ sequence-parallel attention).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -235,7 +236,8 @@ def block_decode(params, x, cfg: TransformerConfig, cache, pos, *, mode="band",
         )
     elif mode == "topk":
         o = attn_lib.decode_topk_attention(
-            q, cache["k"], cache["v"], k_pages or cfg.window_blocks,
+            q, cache["k"], cache["v"],
+            cfg.window_blocks if k_pages is None else k_pages,
             valid_len=pos + 1,
         )
     else:
@@ -254,9 +256,17 @@ def lm_prefill(params, prompt: jax.Array, cfg: TransformerConfig, max_len: int):
     over the prompt — one-time prefill cost, keeps the training forward
     untouched)."""
     tp = int(prompt.shape[0])
-    if tp % 128 or tp > max_len:
-        raise ValueError(f"prompt length {tp} must be a 128-multiple <= {max_len}")
-    pre_cfg = dataclasses.replace(cfg, seq_len=tp)
+    if tp < 128 or tp % 128 or tp > max_len:
+        raise ValueError(
+            f"prompt length {tp} must be a nonzero 128-multiple <= {max_len}"
+        )
+    # Carry the RESOLVED capacity: with capacity=None it is derived from
+    # seq_len, so shortening seq_len to the prompt length would shrink it
+    # and let prefill drop tokens the full forward keeps — silently
+    # breaking the decode == full-forward parity contract.
+    pre_cfg = dataclasses.replace(
+        cfg, seq_len=tp, capacity=cfg.moe_cfg().capacity
+    )
     topo, moe_topo = lm_topologies(pre_cfg)
     caches = init_decode_caches(cfg, max_len)
     x = jnp.take(params["embed"], prompt, axis=0)
@@ -288,6 +298,20 @@ def lm_decode_step(params, token, caches, pos, cfg: TransformerConfig, *,
     x = _layernorm(x[None], params["lnf_scale"], params["lnf_bias"])[0]
     logits = jnp.dot(x, params["embed"].T, preferred_element_type=jnp.float32)
     return logits, new_caches
+
+
+@functools.lru_cache(maxsize=32)
+def _decode_step_jitted(cfg: TransformerConfig, mode: str, k_pages):
+    """Cached compiled decode step per (cfg, mode, k_pages): repeated
+    lm_generate calls reuse one executable, and the KV caches are DONATED
+    so XLA updates them in place instead of copying the whole cache every
+    token (donation is a no-op on CPU, in-place on TPU)."""
+    return jax.jit(
+        lambda p, t, c, pos: lm_decode_step(
+            p, t, c, pos, cfg, mode=mode, k_pages=k_pages
+        ),
+        donate_argnums=(2,),
+    )
 
 
 def lm_generate(
@@ -332,11 +356,7 @@ def lm_generate(
     caches, logits = lm_prefill(params, prompt, cfg, max_len)
     token = pick(logits, keys[0])
 
-    step = jax.jit(
-        lambda p, t, c, pos: lm_decode_step(
-            p, t, c, pos, cfg, mode=mode, k_pages=k_pages
-        )
-    )
+    step = _decode_step_jitted(cfg, mode, k_pages)
     out = [token]
     for i in range(n_new - 1):
         logits, caches = step(params, token, caches, jnp.int32(tp + i))

@@ -170,3 +170,28 @@ def test_lm_generate_sampling(rng):
     assert ((np.asarray(s1) >= 0) & (np.asarray(s1) < cfg.vocab)).all()
     with pytest.raises(ValueError):
         models.lm_generate(params, prompt, cfg, 4, temperature=1.0)  # no key
+
+
+def test_prefill_keeps_training_capacity(rng):
+    """capacity=None derives from seq_len; prefill must resolve it at the
+    TRAINING length, not the prompt length, or an imbalanced router makes
+    prefill drop prompt tokens the model keeps (review regression)."""
+    cfg = models.TransformerConfig(
+        d_model=128, n_heads=2, seq_len=512, window_blocks=2, n_experts=2,
+        d_ff=128, n_layers=1, vocab=64, dtype=jnp.float32, capacity=None,
+    )
+    params = models.init_lm_params(jax.random.PRNGKey(0), cfg)
+    # Bias the router so every token routes to expert 0: a 256-token
+    # prompt then exceeds a prompt-derived capacity (128) but not the
+    # training capacity (256).
+    params["blocks"][0]["moe"]["router"] = (
+        params["blocks"][0]["moe"]["router"].at[:, 0].add(100.0)
+    )
+    prompt = jnp.asarray(rng.integers(0, cfg.vocab, 256), jnp.int32)
+    _, logits = models.lm_prefill(params, prompt, cfg, cfg.seq_len)
+    import dataclasses as dc
+    ref_cfg = dc.replace(cfg, seq_len=256, capacity=cfg.moe_cfg().capacity)
+    ref_logits, _ = models.lm_forward(params, prompt, ref_cfg)
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(ref_logits[-1]), atol=2e-3
+    )
