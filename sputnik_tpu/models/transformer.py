@@ -6,7 +6,8 @@ the end-to-end workload the reference's kernels exist to serve (MegaBlocks
 trains exactly this shape on top of them).
 
 Everything is a pytree of plain arrays + static config; the train step
-differentiates through the custom-VJP sparse ops. Multi-device training
+differentiates through the custom-VJP sparse ops, and batched sequences
+``jax.vmap`` through the whole stack (forward and backward — CI-pinned). Multi-device training
 composes with ``sputnik_tpu.parallel`` (see ``models/moe_parallel.py`` for
 the dp x tp x ep sharded step and ``parallel/attention.py`` for
 sequence-parallel attention).

@@ -195,3 +195,25 @@ def test_prefill_keeps_training_capacity(rng):
     np.testing.assert_allclose(
         np.asarray(logits), np.asarray(ref_logits[-1]), atol=2e-3
     )
+
+
+def test_lm_batched_training_via_vmap(rng):
+    """Batched sequences vmap through the whole sparse stack (custom-VJP
+    ops included), forward and backward."""
+    cfg = models.TransformerConfig(
+        d_model=128, n_heads=2, seq_len=256, window_blocks=2, n_experts=2,
+        d_ff=128, n_layers=1, vocab=64, dtype=jnp.float32, capacity=256,
+    )
+    params = models.init_lm_params(jax.random.PRNGKey(0), cfg)
+    topos = models.lm_topologies(cfg)
+    batch = jnp.asarray(rng.integers(0, 64, (4, 256)), jnp.int32)
+
+    def batch_loss(p):
+        return jax.vmap(lambda t: models.lm_loss(p, t, cfg, topos))(batch).mean()
+
+    loss, g = jax.jit(jax.value_and_grad(batch_loss))(params)
+    assert np.isfinite(float(loss))
+    assert float(jnp.abs(g["embed"]).max()) > 0
+    # Batched loss == mean of per-sequence losses.
+    per_seq = [float(models.lm_loss(params, batch[i], cfg, topos)) for i in range(4)]
+    np.testing.assert_allclose(float(loss), np.mean(per_seq), rtol=1e-5)
