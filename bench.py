@@ -41,31 +41,22 @@ CHAIN = 8
 
 
 def _device_time_from_trace(trace_dir: str, n_runs: int):
-    """Sum pallas-op device durations from the trace -> seconds per op."""
-    files = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True)
-    if not files:
+    """Per-op device seconds from the trace.
+
+    Divides by the OBSERVED top-level event count, not the expected run
+    count: through the axon tunnel ``block_until_ready`` can return before
+    the device drains its queue, so a trace may hold fewer events than
+    runs — dividing by ``n_runs`` then silently undercounts (the round-2
+    "impossible frac_sol" mechanism, utils/profiling.trace_device_events).
+    """
+    del n_runs
+    from sputnik_tpu.utils.profiling import trace_device_events
+
+    r = trace_device_events(trace_dir, "jit_chain")
+    if r is None:
         return None
-    with gzip.open(files[0]) as f:
-        t = json.load(f)
-    pids = {}
-    for e in t.get("traceEvents", []):
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            pids[e["pid"]] = e["args"].get("name", "")
-    total = 0.0
-    count = 0
-    for e in t.get("traceEvents", []):
-        if e.get("ph") != "X" or "TPU" not in pids.get(e.get("pid"), ""):
-            continue
-        # The whole chained executable appears as one jit_chain(...) device
-        # event per run; its duration / CHAIN is the honest per-op time.
-        if e.get("name", "").startswith("jit_chain"):
-            total += e.get("dur", 0) * 1e-6
-            count += 1
-    if count == 0:
-        return None
-    # Device events for one executable may be split; the TOTAL device time
-    # across the traced region divided by (runs * ops) is robust either way.
-    return total / (n_runs * CHAIN)  # seconds per op
+    total, count = r
+    return total / (count * CHAIN)  # seconds per op
 
 
 def _bench_dsd(d: int, density: float, dtype_name: str = "bfloat16"):
@@ -100,6 +91,9 @@ def _bench_dsd(d: int, density: float, dtype_name: str = "bfloat16"):
         for _ in range(n_runs):
             out = chain(a, b)
         jax.block_until_ready(out)
+        # Settle before stopping: block_until_ready can return early through
+        # the axon tunnel, clipping device events off the trace.
+        time.sleep(min(2.0, max(0.3, 2.0 * wall * n_runs * CHAIN)))
         jax.profiler.stop_trace()
         traced = True
     except Exception:

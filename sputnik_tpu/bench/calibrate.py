@@ -75,8 +75,12 @@ def measure(d: int = 4096, stream_mb: int = 256, chain: int = 8,
 
     a16 = jnp.asarray(rng.standard_normal((d, d)), jnp.bfloat16)
     b16 = jnp.asarray(rng.standard_normal((d, d)), jnp.bfloat16)
+    # perturb_mode="feed": pure-XLA ops MUST thread the full output into
+    # the next step's operand — scalar-dependent perturbations let DCE
+    # slice the intermediate matmuls and this row once "measured" a
+    # physically impossible 1008 TFLOP/s (5.1x spec) on this v5e.
     m = device_time(lambda x, y: jnp.dot(x, y), a16, b16, chain=chain,
-                    runs=runs, perturb_index=0, perturb_mode="roll")
+                    runs=runs, perturb_index=0, perturb_mode="feed")
     out["dense_bf16_tflops"] = flops / m["time_s"] / 1e12
     out["dense_bf16_us"] = m["time_s"] * 1e6
     out["dense_bf16_timing"] = m["timing"]
@@ -90,7 +94,7 @@ def measure(d: int = 4096, stream_mb: int = 256, chain: int = 8,
     m = device_time(
         lambda x, y: jnp.dot(x, y, precision=jax.lax.Precision.HIGHEST),
         a32, b32, chain=chain, runs=runs, perturb_index=0,
-        perturb_mode="roll")
+        perturb_mode="feed")
     out["dense_f32_tflops"] = flops / m["time_s"] / 1e12
     print(f"# dense f32(HIGHEST) {d}^3: {m['time_s']*1e6:.1f} us  "
           f"{out['dense_f32_tflops']:.1f} TF", file=sys.stderr, flush=True)
@@ -99,7 +103,7 @@ def measure(d: int = 4096, stream_mb: int = 256, chain: int = 8,
     n_elems = (n_elems // 1024) * 1024
     x = jnp.asarray(rng.standard_normal(n_elems), jnp.float32)
     m = device_time(lambda v: v * 1.000001 + 0.5, x, chain=chain, runs=runs,
-                    perturb_index=0, perturb_mode="roll")
+                    perturb_index=0, perturb_mode="feed")
     stream_bytes = 2.0 * n_elems * 4  # read + write
     out["hbm_gbps"] = stream_bytes / m["time_s"] / 1e9
     print(f"# stream {stream_mb} MB: {m['time_s']*1e6:.1f} us  "

@@ -70,10 +70,19 @@ def dense_stream(a, b, *, depth: int, n_tile: int = 4096,
     k2, n = b.shape
     assert k == k2 and m % 128 == 0 and k % depth == 0
     bn = min(n_tile, n)
+    isz = jnp.dtype(a.dtype).itemsize
+    # Keep the double-buffered working set inside VMEM (the B panel is the
+    # big term: 2 * depth * bn * isz); shrink the n tile at deep depths.
+    while bn > 128 and 2 * (depth * bn + 128 * depth) * isz + 8 * 128 * bn > (100 << 20):
+        bn //= 2
     k_steps = k // depth
     grid = (m // 128, n // bn, k_steps)
     kernel = functools.partial(
         _probe_kernel, k_steps=k_steps, accumulate=accumulate
+    )
+    vmem_limit = min(
+        110 << 20,
+        2 * (depth * bn + 128 * depth) * isz + 12 * 128 * bn + (4 << 20),
     )
     return pl.pallas_call(
         kernel,
@@ -85,7 +94,9 @@ def dense_stream(a, b, *, depth: int, n_tile: int = 4096,
         out_specs=pl.BlockSpec((128, bn), lambda i, p, j: (i, p)),
         scratch_shapes=[pltpu.VMEM((128, bn), jnp.float32)],
         out_shape=jax.ShapeDtypeStruct((m, n), a.dtype),
-        compiler_params=compiler_params(("parallel", "parallel", "arbitrary")),
+        compiler_params=compiler_params(
+            ("parallel", "parallel", "arbitrary"), vmem_limit_bytes=vmem_limit
+        ),
         interpret=interpret,
     )(a, b)
 
@@ -123,8 +134,10 @@ def run(m=1024, k=4096, n=4096, depths=(128, 256, 512, 1024, 2048, 4096),
             lambda a_, b_, depth=depth: dense_stream(
                 a_, b_, depth=depth, accumulate=False),
             perturb_index=0)
+    # feed mode: scalar-dependent perturbations let XLA's DCE slice the
+    # intermediate dots of a pure-XLA chain (utils/profiling.device_time).
     add("xla_dot", lambda a_, b_: jnp.dot(a_, b_),
-        perturb_index=0, perturb_mode="roll")
+        perturb_index=0, perturb_mode="feed")  # out (m,n) feeds a (m,k): k==n
     return rows
 
 

@@ -25,6 +25,25 @@ __all__ = ["device_time", "trace_device_total"]
 
 def trace_device_total(trace_dir: str, name_prefix: str = "jit_") -> Optional[float]:
     """Total seconds of device events whose name starts with ``name_prefix``."""
+    r = trace_device_events(trace_dir, name_prefix)
+    return r[0] if r else None
+
+
+def trace_device_events(
+    trace_dir: str, name_prefix: str = "jit_"
+) -> Optional[tuple]:
+    """(total_seconds, n_events) for device events named ``name_prefix``*.
+
+    The event COUNT matters: through the axon tunnel ``block_until_ready``
+    can return before the device has executed every queued run, so a trace
+    stopped "after" N runs may hold only n < N top-level events. Dividing
+    the total by the EXPECTED run count then undercounts per-op time by
+    N/n — the mechanism behind round 2's physically impossible
+    csr_spmm(mirror) 3.78x row and a 5x-over-spec dense-matmul
+    "calibration". Dividing by the OBSERVED count is robust to clipped
+    traces (each top-level jitted executable appears as exactly one device
+    event per run — verified on this stack).
+    """
     files = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True)
     if not files:
         return None
@@ -35,14 +54,14 @@ def trace_device_total(trace_dir: str, name_prefix: str = "jit_") -> Optional[fl
         if e.get("ph") == "M" and e.get("name") == "process_name":
             pids[e["pid"]] = e["args"].get("name", "")
     total = 0.0
-    found = False
+    count = 0
     for e in t.get("traceEvents", []):
         if e.get("ph") != "X" or "TPU" not in pids.get(e.get("pid"), ""):
             continue
         if e.get("name", "").startswith(name_prefix):
             total += e.get("dur", 0) * 1e-6
-            found = True
-    return total if found else None
+            count += 1
+    return (total, count) if count else None
 
 
 def device_time(
@@ -66,12 +85,23 @@ def device_time(
     calls are opaque to the simplifier and were never affected.) The
     update touches one leading slice, so its own cost is negligible.
 
-    ``perturb_mode="roll"``: rotate the operand by a data-dependent shift
-    instead. Required for ops that are PURE XLA linear algebra (jnp.dot,
-    einsum baselines): XLA strength-reduces even a one-row update of a
-    dot operand into rank-1 corrections and hoists the matmul out of the
-    chain. The roll costs one operand copy per step — use it only where
-    needed (Pallas calls are opaque and never require it).
+    ``perturb_mode="roll"``: rotate the operand by a data-dependent shift.
+
+    ``perturb_mode="feed"``: REQUIRED for ops that are pure XLA (jnp.dot,
+    einsum, elementwise baselines). Both "row" and "roll" thread the chain
+    dependency through a SCALAR of the output, and XLA's DCE then slices
+    every intermediate pure-XLA op down to the one element that scalar
+    needs — a chain of 8 matmuls compiles to ONE full matmul plus 7
+    row-dots, and the "measurement" comes out 5-8x over hardware peak
+    (observed on this chip: 1008 "TFLOP/s" bf16 on a 197-peak v5e).
+    Pallas calls are opaque to the simplifier, so "row"/"roll" remain
+    sound — and cheaper — for them. "feed" rolls the FULL previous output
+    into the perturbed operand by a data-dependent shift: every
+    intermediate output is fully consumed (no DCE slicing) and the
+    data-dependent shift blocks algebraic commutation. Requires the op's
+    first output leaf to have the perturbed leaves' shape (e.g. square
+    matmul chains); the roll costs one operand copy per step.
+
     Runs ``runs`` times under a profiler trace and returns the top-level
     executable's device time divided by ``chain``. Falls back to
     wall/chain when no trace is produced (CPU).
@@ -93,7 +123,29 @@ def device_time(
             out = op(*a)
             eps = _scalarize(out) * 1e-12
             tgt = a[perturb_index]
-            if perturb_mode == "roll":
+            if perturb_mode == "feed":
+                bits = jax.lax.bitcast_convert_type(eps, jnp.int32)
+                shift = jnp.bitwise_and(bits, 7) + 1
+                out_leaf = next(
+                    l for l in jax.tree_util.tree_leaves(out)
+                    if hasattr(l, "dtype")
+                )
+
+                def bump(x):
+                    if not (
+                        hasattr(x, "dtype")
+                        and jnp.issubdtype(x.dtype, jnp.inexact)
+                    ):
+                        return x
+                    if x.shape != out_leaf.shape:
+                        raise ValueError(
+                            "perturb_mode='feed' needs op output shape "
+                            f"{out_leaf.shape} == perturbed operand shape "
+                            f"{x.shape}"
+                        )
+                    return jnp.roll(out_leaf.astype(x.dtype), shift, axis=0)
+
+            elif perturb_mode == "roll":
                 bits = jax.lax.bitcast_convert_type(eps, jnp.int32)
                 shift = jnp.bitwise_and(bits, 7) + 1
 
@@ -136,10 +188,22 @@ def device_time(
         for _ in range(runs):
             out = chained(*args)
         jax.block_until_ready(out)
+        # Through the axon tunnel block_until_ready can return before the
+        # device has drained the queue; stopping the trace immediately clips
+        # events and silently undercounts (see trace_device_events). A
+        # settle sleep scaled to the measured wall bounds the race.
+        time.sleep(min(2.0, max(0.3, 2.0 * wall * runs * chain)))
         jax.profiler.stop_trace()
-        total = trace_device_total(trace_dir, "jit_chained")
+        r = trace_device_events(trace_dir, "jit_chained")
     except Exception:
-        total = None
-    if total is not None:
-        return {"time_s": total / (runs * chain), "wall_s": wall, "timing": "device_trace"}
+        r = None
+    if r is not None:
+        total, n_events = r
+        # One device event per executed run; divide by what actually ran.
+        return {
+            "time_s": total / (n_events * chain),
+            "wall_s": wall,
+            "timing": "device_trace",
+            "runs_observed": n_events,
+        }
     return {"time_s": wall, "wall_s": wall, "timing": "wall"}
