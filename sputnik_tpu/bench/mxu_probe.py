@@ -101,6 +101,55 @@ def dense_stream(a, b, *, depth: int, n_tile: int = 4096,
     )(a, b)
 
 
+def _resident_kernel(a_ref, b_ref, out_ref, acc_ref, *, k_steps, depth):
+    """B whole in VMEM (constant-index spec): isolates per-dot MXU cost at
+    ``depth`` with ZERO per-step HBM traffic — the acc_d* rows above refetch
+    the B panel per m-tile and are HBM-bound, not MXU-bound."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    panel = b_ref[pl.ds(j * depth, depth), :]
+    acc_ref[:] += jax.lax.dot_general(
+        a_ref[:], panel,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == k_steps - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def resident_stream(a, b, *, depth: int, interpret: bool | None = None):
+    """C = A @ B, B VMEM-resident, one depth-``depth`` dot per grid step."""
+    interpret = use_interpret() if interpret is None else interpret
+    m, k = a.shape
+    k2, n = b.shape
+    assert k == k2 and m % 128 == 0 and k % depth == 0
+    k_steps = k // depth
+    isz = jnp.dtype(a.dtype).itemsize
+    vmem_limit = min(110 << 20, k * n * isz + 2 * 128 * k * isz
+                     + 12 * 128 * n + (4 << 20))
+    return pl.pallas_call(
+        functools.partial(_resident_kernel, k_steps=k_steps, depth=depth),
+        grid=(m // 128, k_steps),
+        in_specs=[
+            pl.BlockSpec((128, k), lambda i, j: (i, 0)),
+            pl.BlockSpec((k, n), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((128, n), lambda i, j: (i, 0)),
+        scratch_shapes=[pltpu.VMEM((128, n), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((m, n), a.dtype),
+        compiler_params=compiler_params(
+            ("parallel", "arbitrary"), vmem_limit_bytes=vmem_limit
+        ),
+        interpret=interpret,
+    )(a, b)
+
+
 def run(m=1024, k=4096, n=4096, depths=(128, 256, 512, 1024, 2048, 4096),
         chain=4, runs=3):
     from sputnik_tpu.utils.profiling import device_time
@@ -127,6 +176,10 @@ def run(m=1024, k=4096, n=4096, depths=(128, 256, 512, 1024, 2048, 4096),
     for depth in depths:
         add(f"acc_d{depth}",
             lambda a_, b_, depth=depth: dense_stream(a_, b_, depth=depth),
+            perturb_index=0)
+    for depth in depths:
+        add(f"resident_d{depth}",
+            lambda a_, b_, depth=depth: resident_stream(a_, b_, depth=depth),
             perturb_index=0)
     # RMW isolation at the shallow end only (the interesting regime).
     for depth in (128, 256):
