@@ -37,7 +37,7 @@ def _itemsize(dtype):
 
 
 def audit(d: int = 2048, density: float = 0.25, dtype_name: str = "bfloat16",
-          chain: int = 8, runs: int = 3, peaks=PEAKS):
+          chain: int = 8, runs: int = 3, peaks=PEAKS, partial_path=None):
     import jax.numpy as jnp
     from sputnik_tpu import ops
     from sputnik_tpu.ops import csr as csr_ops
@@ -70,6 +70,7 @@ def audit(d: int = 2048, density: float = 0.25, dtype_name: str = "bfloat16",
             perturb_mode="row"):
         from sputnik_tpu.bench.models import VPU_ELEM_OPS, sol_time
 
+        print(f"[roofline] measuring {name} ...", file=sys.stderr, flush=True)
         try:
             m = device_time(fn, *args, chain=chain, runs=runs,
                             perturb_index=perturb, perturb_mode=perturb_mode)
@@ -114,6 +115,14 @@ def audit(d: int = 2048, density: float = 0.25, dtype_name: str = "bfloat16",
                 hbm_bps=bw * measured["hbm_efficiency"], vpu_elems=vpu)
             row["frac_achievable"] = sol_a / t
         rows.append(row)
+        # A device fault on a later row must not lose the measured prefix
+        # (the axon tunnel can poison the device mid-audit).
+        if partial_path:
+            try:
+                with open(partial_path, "w") as f:
+                    json.dump(rows, f, indent=2)
+            except OSError:
+                pass
 
     # DSD/DDS: reuse-aware model (bench.models.dsd_model) — the streamed
     # dense-panel traffic is floored at "every TOUCHED dense strip once per
@@ -405,7 +414,18 @@ def main():
     if args.peak_gbps:
         peaks["hbm_bps"] = args.peak_gbps * 1e9
 
-    rows = audit(args.d, args.density, args.dtype, peaks=peaks)
+    try:
+        rows = audit(args.d, args.density, args.dtype, peaks=peaks,
+                     partial_path=args.out + ".partial")
+    except Exception:
+        # Setup code between rows touched a poisoned device; publish the
+        # measured prefix (flushed row-by-row) before re-raising.
+        import os
+        if os.path.exists(args.out + ".partial"):
+            os.replace(args.out + ".partial", args.out)
+            print(f"(device fault mid-audit; partial rows kept in {args.out})",
+                  file=sys.stderr)
+        raise
     print(f"# Roofline audit — d={args.d}, density={args.density}, {args.dtype}\n")
     print("| op | time (us) | GFLOP/s | bound | frac of SoL | frac achv | timing |")
     print("|---|---|---|---|---|---|---|")
