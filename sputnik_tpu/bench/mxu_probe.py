@@ -113,7 +113,7 @@ def _resident_kernel(a_ref, b_ref, out_ref, acc_ref, *, k_steps, depth):
 
     panel = b_ref[pl.ds(j * depth, depth), :]
     acc_ref[:] += jax.lax.dot_general(
-        a_ref[:], panel,
+        a_ref[:, pl.ds(j * depth, depth)], panel,
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )

@@ -22,6 +22,51 @@ import jax
 
 __all__ = ["device_time", "trace_device_total"]
 
+# Process-wide health flag for the jax.profiler channel. Through the axon
+# tunnel a SIGTERM'd trace can wedge the remote profiler session; every
+# later start_trace in ANY process then blocks forever. Once a watchdog
+# trips, stop retrying for the remainder of this process and use the
+# wall-delta fallback protocol instead.
+_PROFILER_BROKEN = False
+
+
+def _profiler_usable() -> bool:
+    if _PROFILER_BROKEN:
+        return False
+    if os.environ.get("SPUTNIK_NO_PROFILER"):
+        return False
+    return True
+
+
+def _watchdog(fn, *args, timeout: float) -> bool:
+    """Run ``fn(*args)`` in a daemon thread; False if it hangs past timeout.
+
+    A hang marks the profiler broken process-wide (the stuck thread is
+    leaked deliberately — there is no way to cancel a blocked RPC).
+    """
+    global _PROFILER_BROKEN
+    import threading
+
+    ok = []
+    err = []
+
+    def _run():
+        try:
+            fn(*args)
+            ok.append(True)
+        except Exception as e:  # surface as failure, not a hang
+            err.append(e)
+
+    t = threading.Thread(target=_run, daemon=True)
+    t.start()
+    t.join(timeout)
+    if t.is_alive():
+        _PROFILER_BROKEN = True
+        return False
+    if err:
+        raise err[0]
+    return bool(ok)
+
 
 def trace_device_total(trace_dir: str, name_prefix: str = "jit_") -> Optional[float]:
     """Total seconds of device events whose name starts with ``name_prefix``."""
@@ -115,11 +160,12 @@ def device_time(
             acc = acc + l.reshape(-1)[0].astype(jnp.float32)
         return acc
 
-    @jax.jit
-    def chained(*a):
+    def make_chained(n):
+      @jax.jit
+      def chained(*a):
         a = list(a)
         out = None
-        for _ in range(chain):
+        for _ in range(n):
             out = op(*a)
             eps = _scalarize(out) * 1e-12
             tgt = a[perturb_index]
@@ -175,6 +221,9 @@ def device_time(
             a[perturb_index] = jax.tree_util.tree_map(bump, tgt)
         return out
 
+      return chained
+
+    chained = make_chained(chain)
     out = jax.block_until_ready(chained(*args))  # compile + warmup
     t0 = time.perf_counter()
     for _ in range(runs):
@@ -182,21 +231,25 @@ def device_time(
     jax.block_until_ready(out)
     wall = (time.perf_counter() - t0) / (runs * chain)
 
-    trace_dir = tempfile.mkdtemp(prefix="sputnik_prof_")
-    try:
-        jax.profiler.start_trace(trace_dir)
-        for _ in range(runs):
-            out = chained(*args)
-        jax.block_until_ready(out)
-        # Through the axon tunnel block_until_ready can return before the
-        # device has drained the queue; stopping the trace immediately clips
-        # events and silently undercounts (see trace_device_events). A
-        # settle sleep scaled to the measured wall bounds the race.
-        time.sleep(min(2.0, max(0.3, 2.0 * wall * runs * chain)))
-        jax.profiler.stop_trace()
-        r = trace_device_events(trace_dir, "jit_chained")
-    except Exception:
-        r = None
+    r = None
+    if _profiler_usable():
+        trace_dir = tempfile.mkdtemp(prefix="sputnik_prof_")
+        try:
+            if not _watchdog(jax.profiler.start_trace, trace_dir, timeout=15.0):
+                raise RuntimeError("profiler start_trace hung")
+            for _ in range(runs):
+                out = chained(*args)
+            jax.block_until_ready(out)
+            # Through the axon tunnel block_until_ready can return before the
+            # device has drained the queue; stopping the trace immediately
+            # clips events and silently undercounts (trace_device_events). A
+            # settle sleep scaled to the measured wall bounds the race.
+            time.sleep(min(2.0, max(0.3, 2.0 * wall * runs * chain)))
+            if not _watchdog(jax.profiler.stop_trace, timeout=30.0):
+                raise RuntimeError("profiler stop_trace hung")
+            r = trace_device_events(trace_dir, "jit_chained")
+        except Exception:
+            r = None
     if r is not None:
         total, n_events = r
         # One device event per executed run; divide by what actually ran.
@@ -206,4 +259,29 @@ def device_time(
             "timing": "device_trace",
             "runs_observed": n_events,
         }
+
+    # Fallback when no trace is available (CPU backend, or the tunnel's
+    # profiler channel is down): two-point wall timing. One dispatch of a
+    # chain-n executable costs latency + n*t_op with the SAME latency for
+    # both chain lengths (one host->device round trip each), so the
+    # difference of the two walls cancels the tunnel latency exactly:
+    #   t_op = (T_long - T_short) / (runs * (len_long - len_short))
+    long_chain = max(chain * 4, chain + 8)
+    chained_long = make_chained(long_chain)
+    jax.block_until_ready(chained_long(*args))  # compile + warmup
+    best = None
+    for _ in range(max(2, runs)):
+        t0 = time.perf_counter()
+        out = chained(*args)
+        jax.block_until_ready(out)
+        t_short = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = chained_long(*args)
+        jax.block_until_ready(out)
+        t_long = time.perf_counter() - t0
+        est = (t_long - t_short) / (long_chain - chain)
+        if est > 0 and (best is None or est < best):
+            best = est
+    if best is not None:
+        return {"time_s": best, "wall_s": wall, "timing": "wall_delta"}
     return {"time_s": wall, "wall_s": wall, "timing": "wall"}
