@@ -81,7 +81,7 @@ def run(n: int, chain: int = 8, runs: int = 3, weights_path: str | None = None):
                 "matrix": label, "nnz": nnz, "time_us": t * 1e6,
                 "gflops": 2 * nnz * n / t / 1e9,
                 "gnnz_per_s": nnz / t / 1e9,
-                "frac_sol": sol_t / t, "timing": m["timing"],
+                "frac_gather_bound": sol_t / t, "timing": m["timing"],
             })
         except Exception as e:
             rows_out.append({"op": "spmm", "shape": [rows, cols],
@@ -106,7 +106,7 @@ def run(n: int, chain: int = 8, runs: int = 3, weights_path: str | None = None):
                 "matrix": label, "nnz": nnz, "time_us": t * 1e6,
                 "gflops": 2 * nnz * n / t / 1e9,
                 "gnnz_per_s": nnz / t / 1e9,
-                "frac_sol": sol_t / t, "timing": m["timing"],
+                "frac_gather_bound": sol_t / t, "timing": m["timing"],
             })
         except Exception as e:
             rows_out.append({"op": "spmm_mirror", "shape": [rows, cols],
@@ -126,7 +126,7 @@ def run(n: int, chain: int = 8, runs: int = 3, weights_path: str | None = None):
                 "matrix": label, "nnz": nnz, "time_us": t * 1e6,
                 "gflops": 2 * nnz * n / t / 1e9,
                 "gnnz_per_s": nnz / t / 1e9,
-                "frac_sol": sol_t / t, "timing": m["timing"],
+                "frac_gather_bound": sol_t / t, "timing": m["timing"],
             })
         except Exception as e:
             rows_out.append({"op": "sddmm", "shape": [rows, cols],
@@ -144,7 +144,7 @@ def main():
                          "magnitude-pruned REAL matrices")
     args = ap.parse_args()
     rows = run(args.n, weights_path=args.weights)
-    print("| op | shape | sparsity | time (us) | GFLOP/s | Gnnz/s | frac SoL |")
+    print("| op | shape | sparsity | time (us) | GFLOP/s | Gnnz/s | frac of gather bound |")
     print("|---|---|---|---|---|---|---|")
     for r in rows:
         if "error" in r:
@@ -153,7 +153,7 @@ def main():
             print(
                 f"| {r['op']} | {r['shape'][0]}x{r['shape'][1]} | {r['sparsity']:.2f} "
                 f"| {r['time_us']:.1f} | {r['gflops']:.0f} | {r['gnnz_per_s']:.2f} "
-                f"| {r['frac_sol']:.2f} |"
+                f"| {r['frac_gather_bound']:.2f} |"
             )
     with open(args.out, "w") as f:
         json.dump(rows, f, indent=2)

@@ -52,7 +52,19 @@ def run(d: int, densities, dtype_name="bfloat16", chain=8, runs=3,
     rng = np.random.default_rng(11)
     rows_out = []
 
-    def add(op, ta, tb, density, fn, args, flops, bytes_moved, perturb):
+    from sputnik_tpu.ops import registry as _registry
+
+    def _vname(op, vargs, vkwargs):
+        """Chosen-variant name for this problem: the grid then doubles as
+        dispatch validation in the regimes where residency predicates flip
+        (round-3 verdict ask #3)."""
+        try:
+            return _registry.dispatch_name(op, *vargs, **vkwargs)
+        except Exception:
+            return None
+
+    def add(op, ta, tb, density, fn, args, flops, bytes_moved, perturb,
+            vargs=None, vkwargs=None):
         name = f"{op}_{_mode_name(ta, tb)}"
         try:
             m = device_time(fn, *args, chain=chain, runs=runs,
@@ -68,6 +80,8 @@ def run(d: int, densities, dtype_name="bfloat16", chain=8, runs=3,
                          else "bandwidth",
                 "timing": m["timing"],
             }
+            if vargs is not None:
+                row["variant"] = _vname(op, vargs, vkwargs or {})
             # Sub-3us per-op times sit at the chained-trace noise floor
             # (the profiler's event resolution divided by the chain) —
             # publish those fractions as unreliable rather than as wins.
@@ -129,7 +143,9 @@ def run(d: int, densities, dtype_name="bfloat16", chain=8, runs=3,
                 add("dsd", ta, tb, density,
                     lambda a_, b_, ta=ta, tb=tb: ops.matmul_dsd(
                         a_, b_, transpose_a=ta, transpose_b=tb),
-                    (a, b), f, by, perturb=1)
+                    (a, b), f, by, perturb=1,
+                    vargs=(a, b),
+                    vkwargs=dict(transpose_a=ta, transpose_b=tb))
             if ops_filter is None or "dds" in ops_filter:
                 # dds streams panels of the dense operand at the sparse
                 # operand's contraction blocks; the grid reuses `a` as the
@@ -141,7 +157,9 @@ def run(d: int, densities, dtype_name="bfloat16", chain=8, runs=3,
                 add("dds", ta, tb, density,
                     lambda b_, a_, ta=ta, tb=tb: ops.matmul_dds(
                         b_, a_, transpose_a=ta, transpose_b=tb),
-                    (b, a), f, by, perturb=0)
+                    (b, a), f, by, perturb=0,
+                    vargs=(b, a),
+                    vkwargs=dict(transpose_a=ta, transpose_b=tb))
             if ops_filter is None or "sdd" in ops_filter:
                 t_rows = int(len(np.unique(np.asarray(topo.row_indices))))
                 t_cols = int(len(np.unique(np.asarray(topo.indices))))
@@ -151,7 +169,9 @@ def run(d: int, densities, dtype_name="bfloat16", chain=8, runs=3,
                 add("sdd", ta, tb, density,
                     lambda x_, y_, ta=ta, tb=tb: ops.matmul_sdd(
                         x_, y_, topo, transpose_a=ta, transpose_b=tb).data,
-                    (b, b), f, by, perturb=0)
+                    (b, b), f, by, perturb=0,
+                    vargs=(b, b, topo),
+                    vkwargs=dict(transpose_a=ta, transpose_b=tb))
             # Sparse-out / sparse-sparse ops: pre-plan the exact flat
             # schedule ONLY where the registry's first-fit would pick the
             # flat path anyway (the MatmulEx discipline); at high density
@@ -177,7 +197,9 @@ def run(d: int, densities, dtype_name="bfloat16", chain=8, runs=3,
                     lambda a_, b_, ta=ta, tb=tb, kw=kw: ops.matmul_ssd(
                         a_, b_, topo, transpose_a=ta, transpose_b=tb,
                         **kw).data,
-                    (a, b), f, by, perturb=1)
+                    (a, b), f, by, perturb=1,
+                    vargs=(a, b, topo),
+                    vkwargs=dict(transpose_a=ta, transpose_b=tb, **kw))
             if ops_filter is None or "sds" in ops_filter:
                 use_flat = density < 0.25
                 sched = ops.plan_sds(a, topo, transpose_b=tb) if use_flat else None
@@ -191,7 +213,9 @@ def run(d: int, densities, dtype_name="bfloat16", chain=8, runs=3,
                     lambda b_, a_, ta=ta, tb=tb, kw=kw: ops.matmul_sds(
                         b_, a_, topo, transpose_a=ta, transpose_b=tb,
                         **kw).data,
-                    (b, a), f, by, perturb=0)
+                    (b, a), f, by, perturb=0,
+                    vargs=(b, a, topo),
+                    vkwargs=dict(transpose_a=ta, transpose_b=tb, **kw))
             if ops_filter is None or "dss" in ops_filter:
                 use_flat = density * density < 0.1
                 sched = (ops.plan_dss(a, topo, transpose_a=ta, transpose_b=tb)
@@ -205,7 +229,9 @@ def run(d: int, densities, dtype_name="bfloat16", chain=8, runs=3,
                 add("dss", ta, tb, density,
                     lambda a_, b_, ta=ta, tb=tb, kw=kw: ops.matmul_dss(
                         a_, b_, transpose_a=ta, transpose_b=tb, **kw),
-                    (a, topo), f, by, perturb=0)
+                    (a, topo), f, by, perturb=0,
+                    vargs=(a, topo),
+                    vkwargs=dict(transpose_a=ta, transpose_b=tb, **kw))
     return rows_out
 
 

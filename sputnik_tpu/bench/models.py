@@ -19,7 +19,9 @@ is NOT replicated (SURVEY.md section 6 flags it).
 
 from __future__ import annotations
 
-PEAKS = {"bf16_flops": 197e12, "f32_flops": 49e12, "hbm_bps": 819e9}
+PEAKS = {"bf16_flops": 197e12, "f32_flops": 49e12, "hbm_bps": 819e9,
+         # v5e int8 MXU path: 394 TOPS (2x bf16, the spec ratio).
+         "int8_ops": 394e12}
 # VPU element-op rate: (8 sublanes x 128 lanes) x 4 ALUs per cycle at
 # ~950 MHz. Ops that are select/exp/compare bound (SELL reconstruct,
 # softmax) hit this wall long before HBM or the MXU; a speed-of-light

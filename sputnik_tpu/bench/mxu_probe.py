@@ -123,25 +123,29 @@ def _resident_kernel(a_ref, b_ref, out_ref, acc_ref, *, k_steps, depth):
         out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
-def resident_stream(a, b, *, depth: int, interpret: bool | None = None):
-    """C = A @ B, B VMEM-resident, one depth-``depth`` dot per grid step."""
+def resident_stream(a, b, *, depth: int, mt: int = 128,
+                    interpret: bool | None = None):
+    """C = A @ B, B VMEM-resident, one depth-``depth`` dot per grid step.
+
+    ``mt`` sweeps the output m-tile (the round-3 probe hardwired 128 —
+    the stream kernels' block size — leaving the m-tile lever unmeasured)."""
     interpret = use_interpret() if interpret is None else interpret
     m, k = a.shape
     k2, n = b.shape
-    assert k == k2 and m % 128 == 0 and k % depth == 0
+    assert k == k2 and m % mt == 0 and k % depth == 0
     k_steps = k // depth
     isz = jnp.dtype(a.dtype).itemsize
-    vmem_limit = min(110 << 20, k * n * isz + 2 * 128 * k * isz
-                     + 12 * 128 * n + (4 << 20))
+    vmem_limit = min(110 << 20, k * n * isz + 2 * mt * k * isz
+                     + 12 * mt * n + (4 << 20))
     return pl.pallas_call(
         functools.partial(_resident_kernel, k_steps=k_steps, depth=depth),
-        grid=(m // 128, k_steps),
+        grid=(m // mt, k_steps),
         in_specs=[
-            pl.BlockSpec((128, k), lambda i, j: (i, 0)),
+            pl.BlockSpec((mt, k), lambda i, j: (i, 0)),
             pl.BlockSpec((k, n), lambda i, j: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((128, n), lambda i, j: (i, 0)),
-        scratch_shapes=[pltpu.VMEM((128, n), jnp.float32)],
+        out_specs=pl.BlockSpec((mt, n), lambda i, j: (i, 0)),
+        scratch_shapes=[pltpu.VMEM((mt, n), jnp.float32)],
         out_shape=jax.ShapeDtypeStruct((m, n), a.dtype),
         compiler_params=compiler_params(
             ("parallel", "arbitrary"), vmem_limit_bytes=vmem_limit
@@ -181,6 +185,16 @@ def run(m=1024, k=4096, n=4096, depths=(128, 256, 512, 1024, 2048, 4096),
         add(f"resident_d{depth}",
             lambda a_, b_, depth=depth: resident_stream(a_, b_, depth=depth),
             perturb_index=0)
+    # m-tile sweep at the two interesting depths: does a fatter output tile
+    # close the Pallas-vs-XLA gap (0.77 vs 0.90 in round 3)?
+    for depth in (1024, 4096):
+        for mt in (256, 512, 1024):
+            if mt > m or k % depth:
+                continue
+            add(f"resident_d{depth}_mt{mt}",
+                lambda a_, b_, depth=depth, mt=mt: resident_stream(
+                    a_, b_, depth=depth, mt=mt),
+                perturb_index=0)
     # RMW isolation at the shallow end only (the interesting regime).
     for depth in (128, 256):
         add(f"overwrite_d{depth}",

@@ -67,9 +67,10 @@ def audit(d: int = 2048, density: float = 0.25, dtype_name: str = "bfloat16",
     rows = []
 
     def add(name, fn, args, flops, bytes_moved, perturb=0, vpu=0,
-            perturb_mode="row"):
+            perturb_mode="row", pf=None):
         from sputnik_tpu.bench.models import VPU_ELEM_OPS, sol_time
 
+        pf = peak_flops if pf is None else pf
         print(f"[roofline] measuring {name} ...", file=sys.stderr, flush=True)
         try:
             m = device_time(fn, *args, chain=chain, runs=runs,
@@ -78,7 +79,7 @@ def audit(d: int = 2048, density: float = 0.25, dtype_name: str = "bfloat16",
             rows.append({"op": name, "error": str(e)[:120]})
             return
         t = m["time_s"]
-        sol = sol_time(flops, bytes_moved, peak_flops=peak_flops,
+        sol = sol_time(flops, bytes_moved, peak_flops=pf,
                        hbm_bps=bw, vpu_elems=vpu)
         bound = "compute"
         if sol == bytes_moved / bw:
@@ -111,7 +112,7 @@ def audit(d: int = 2048, density: float = 0.25, dtype_name: str = "bfloat16",
         if measured and "frac_sol" in row:
             sol_a = sol_time(
                 flops, bytes_moved,
-                peak_flops=peak_flops * measured["mxu_efficiency"],
+                peak_flops=pf * measured["mxu_efficiency"],
                 hbm_bps=bw * measured["hbm_efficiency"], vpu_elems=vpu)
             row["frac_achievable"] = sol_a / t
         rows.append(row)
@@ -160,6 +161,53 @@ def audit(d: int = 2048, density: float = 0.25, dtype_name: str = "bfloat16",
         dsd_f,
         nnz * isz + d * d * isz + d * d * out_isz,
         perturb=1,
+    )
+    # Depth-concat q-stream (explicit row): one dot of contraction depth
+    # q*128 per step — the round-3 MXU probe's per-dot-depth lever applied
+    # to the stream schedule. Same byte model as the streamed default.
+    add(
+        "bsr_dsd(kcat_q8)",
+        lambda a_, b_: ops.matmul_dsd(a_, b_, variant="pallas_qstream_kcat_q8"),
+        (a, b),
+        dsd_f,
+        dsd_by,
+        perturb=1,
+    )
+    # int8 quantized DSD/DDS (the serving path; beyond the reference —
+    # its kernels are half-only, default_block_gemm.h:58-61). SoL uses the
+    # v5e int8 MXU peak (~2x bf16); byte model = the bf16 model at isz=1
+    # with a bf16 output.
+    from sputnik_tpu.ops import quant
+
+    int8_peak = peaks.get("int8_ops", 2 * peaks["bf16_flops"])
+    a_q, s_a = quant.quantize_bsr(a)
+    b_q, s_b = quant.quantize(b)
+    q_f, q_by = dsd_model(nnz=nnz, nnz_blocks=nnz_b, m=d, n=d, k=d,
+                          isz=1, touched_deps=a_tcols)
+    q_by += d * d  # bf16 out is 2 bytes vs the model's 1-byte isz
+    for kname in ("stream", "bres"):
+        add(
+            f"bsr_dsd_q8({kname})",
+            lambda a_, b_, _k=kname: quant.matmul_dsd_q8(
+                a_, b_, scale_a=s_a, scale_b=s_b, kernel=_k),
+            (a_q, b_q),
+            q_f,
+            q_by if kname == "stream"
+            else nnz * 1 + d * d * 1 + d * d * out_isz,
+            perturb=1,
+            perturb_mode="roll",  # int8 operands: row-bump would re-quantize
+            pf=int8_peak,
+        )
+    add(
+        "bsr_dds_q8(stream)",
+        lambda b_, m_: quant.matmul_dds_q8(
+            b_, m_, scale_a=s_b, scale_b=s_a),
+        (b_q, a_q),
+        q_f,
+        q_by,
+        perturb=0,
+        perturb_mode="roll",
+        pf=int8_peak,
     )
     # SDD: per output block, full K strips of A and B; one packed block out.
     sdd_f, sdd_by = sdd_model(
@@ -406,7 +454,7 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--peak-tflops", type=float, default=None)
     ap.add_argument("--peak-gbps", type=float, default=None)
-    ap.add_argument("--out", default="roofline_audit.json")
+    ap.add_argument("--out", default="docs/roofline_audit.json")
     args = ap.parse_args()
     peaks = dict(PEAKS)
     if args.peak_tflops:

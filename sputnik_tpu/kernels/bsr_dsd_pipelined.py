@@ -146,8 +146,8 @@ def _pipelined_call(
         num_scalar_prefetch=3,
         grid=(panel_tiles, groups),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(out_block, out_index),
         scratch_shapes=[

@@ -34,7 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 from sputnik_tpu.formats import BlockSparseMatrix
 from sputnik_tpu.kernels.common import compiler_params, dot_dims, use_interpret
 
-__all__ = ["dss", "dss_worklist", "worklist_budget"]
+__all__ = ["dss", "dss_worklist", "worklist_budget", "build_dss_worklist"]
 
 
 def _dss_kernel(
@@ -249,46 +249,33 @@ def _worklist_kernel(
         out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
-def dss_worklist(
+def build_dss_worklist(
     a: BlockSparseMatrix,
     b: BlockSparseMatrix,
     *,
     transpose_a: bool = False,
     transpose_b: bool = False,
-    out_dtype=None,
     work_budget: int | None = None,
-    interpret: bool | None = None,
-    **_,
-) -> jax.Array:
-    """Exact-intersection DSS that works with TRACED metadata.
+):
+    """The merged DSS work list as a pytree of device arrays.
 
-    The merged work list is built ON DEVICE with jnp (cumsum + searchsorted
-    decode of the ragged per-k outer products, one argsort to group items by
-    output tile) and fed to the kernel through scalar prefetch — the
-    in-kernel ``IndexMerge`` of the reference
-    (``block/cutlass/index_merge.h:90-227``) re-expressed as a metadata
-    transform, with no host dependency and no k <= 32768 limit.
+    ``(out_sorted, a_ids, b_ids, flags, visited)`` — everything
+    :func:`dss_worklist`'s kernel consumes. Built once per topology PAIR
+    and reusable across calls (the MatmulEx / plan_* discipline; the
+    reference rebuilds its bitmasks every call, "TODO: cache",
+    ``dss_*_tn_align8.cu:99-110``): pass the result back through
+    ``dss_worklist(..., worklist=...)`` to skip the ~10 small on-device
+    metadata ops (cumsum/searchsorted/argsort) that dominated the round-3
+    104-vs-47 us traced-vs-planned premium.
 
-    Unlike :func:`dss` (which visits every (m, n, s) up to op(A)'s row
-    extent), the grid here is ``work_budget`` steps — a STATIC bound on the
-    true intersection size, from the descriptors' static nnz hints (or
-    caller-provided for structured patterns where a tighter bound is
-    known). Items past the true total are flag-0 no-ops.
+    Dead (past-``total``) slots are FORWARD-FILLED with the last real
+    item's block ids and output tile, so their index maps repeat and
+    Mosaic elides the dead-step DMAs — a dead step costs only the fixed
+    grid-step overhead, not two block fetches.
     """
-    interpret = use_interpret() if interpret is None else interpret
-    out_dtype = out_dtype or a.dtype
     bs = a.block_size
-    if b.block_size != bs:
-        raise ValueError(f"block size mismatch: {bs} vs {b.block_size}")
     m_dim = a.cols if transpose_a else a.rows
-    k_dim = a.rows if transpose_a else a.cols
     n_dim = b.rows if transpose_b else b.cols
-    kb = b.cols if transpose_b else b.rows
-    if kb != k_dim:
-        raise ValueError(f"contraction mismatch: A gives k={k_dim}, B gives {kb}")
-    if a.nnz_blocks == 0 or b.nnz_blocks == 0:
-        return jnp.zeros((m_dim, n_dim), out_dtype)
-
     m_blocks = m_dim // bs
     n_blocks = n_dim // bs
     n_tiles = m_blocks * n_blocks
@@ -329,10 +316,83 @@ def dss_worklist(
         valid, a_m[a_slot] * n_blocks + b_n[b_slot], n_tiles
     ).astype(jnp.int32)
     order = jnp.argsort(out_id)  # stable: real items stay k-grouped per tile
-    out_sorted = jnp.minimum(out_id[order], n_tiles - 1)
     a_ids = a_pos[a_slot][order]
     b_ids = b_pos[b_slot][order]
     flags = valid[order].astype(jnp.int32)
+    # Forward-fill dead tail slots (sorted last) from the LAST real item:
+    # repeated indices -> Mosaic skips the re-DMA; repeated out tile keeps
+    # the flush on the final step correct (flag-0 contributions are zero).
+    last_real = jnp.maximum(total - 1, 0)
+    out_sorted = jnp.where(
+        flags > 0, jnp.minimum(out_id[order], n_tiles - 1),
+        jnp.minimum(out_id[order][last_real], n_tiles - 1),
+    )
+    a_ids = jnp.where(flags > 0, a_ids, a_ids[last_real])
+    b_ids = jnp.where(flags > 0, b_ids, b_ids[last_real])
+    visited = (
+        jnp.zeros((n_tiles,), jnp.int32)
+        .at[jnp.where(valid, out_id, 0)]
+        .add(valid.astype(jnp.int32))
+    ) > 0
+    return out_sorted, a_ids, b_ids, flags, visited
+
+
+def dss_worklist(
+    a: BlockSparseMatrix,
+    b: BlockSparseMatrix,
+    *,
+    transpose_a: bool = False,
+    transpose_b: bool = False,
+    out_dtype=None,
+    work_budget: int | None = None,
+    worklist=None,
+    interpret: bool | None = None,
+    **_,
+) -> jax.Array:
+    """Exact-intersection DSS that works with TRACED metadata.
+
+    The merged work list is built ON DEVICE with jnp (cumsum + searchsorted
+    decode of the ragged per-k outer products, one argsort to group items by
+    output tile) and fed to the kernel through scalar prefetch — the
+    in-kernel ``IndexMerge`` of the reference
+    (``block/cutlass/index_merge.h:90-227``) re-expressed as a metadata
+    transform, with no host dependency and no k <= 32768 limit.
+
+    Unlike :func:`dss` (which visits every (m, n, s) up to op(A)'s row
+    extent), the grid here is ``work_budget`` steps — a STATIC bound on the
+    true intersection size, from the descriptors' static nnz hints (or
+    caller-provided for structured patterns where a tighter bound is
+    known). Items past the true total are flag-0 no-ops with elided DMAs.
+
+    ``worklist``: a prebuilt :func:`build_dss_worklist` result for this
+    topology pair — skips the metadata build entirely (cache it like a
+    ``plan_*`` schedule when the topologies repeat across calls).
+    """
+    interpret = use_interpret() if interpret is None else interpret
+    out_dtype = out_dtype or a.dtype
+    bs = a.block_size
+    if b.block_size != bs:
+        raise ValueError(f"block size mismatch: {bs} vs {b.block_size}")
+    m_dim = a.cols if transpose_a else a.rows
+    k_dim = a.rows if transpose_a else a.cols
+    n_dim = b.rows if transpose_b else b.cols
+    kb = b.cols if transpose_b else b.rows
+    if kb != k_dim:
+        raise ValueError(f"contraction mismatch: A gives k={k_dim}, B gives {kb}")
+    if a.nnz_blocks == 0 or b.nnz_blocks == 0:
+        return jnp.zeros((m_dim, n_dim), out_dtype)
+
+    m_blocks = m_dim // bs
+    n_blocks = n_dim // bs
+    n_tiles = m_blocks * n_blocks
+
+    if worklist is None:
+        worklist = build_dss_worklist(
+            a, b, transpose_a=transpose_a, transpose_b=transpose_b,
+            work_budget=work_budget,
+        )
+    out_sorted, a_ids, b_ids, flags, visited = worklist
+    W = int(out_sorted.shape[0])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -359,13 +419,8 @@ def dss_worklist(
     )(out_sorted, a_ids, b_ids, flags, a.data, b.data)
 
     # Zero tiles with an empty intersection (never visited -> stale HBM).
-    visited = (
-        jnp.zeros((n_tiles,), jnp.int32)
-        .at[jnp.where(valid, out_id, 0)]
-        .add(valid.astype(jnp.int32))
-    )
     mask = jnp.repeat(
-        jnp.repeat((visited > 0).reshape(m_blocks, n_blocks), bs, axis=0),
+        jnp.repeat(visited.reshape(m_blocks, n_blocks), bs, axis=0),
         bs,
         axis=1,
     )

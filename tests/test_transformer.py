@@ -217,3 +217,48 @@ def test_lm_batched_training_via_vmap(rng):
     # Batched loss == mean of per-sequence losses.
     per_seq = [float(models.lm_loss(params, batch[i], cfg, topos)) for i in range(4)]
     np.testing.assert_allclose(float(loss), np.mean(per_seq), rtol=1e-5)
+
+
+def test_lm_generate_batched_matches_single(rng):
+    """Batched scan-fused decode == per-sequence lm_generate, greedy AND
+    sampled (same per-step keys drive both paths)."""
+    cfg = models.TransformerConfig(
+        d_model=128, n_heads=2, seq_len=256, window_blocks=2, n_experts=2,
+        d_ff=128, n_layers=2, vocab=64, dtype=jnp.float32,
+    )
+    params = models.init_lm_params(jax.random.PRNGKey(0), cfg)
+    prompts = jnp.asarray(rng.integers(0, 64, (3, 128)), jnp.int32)
+    out_b = models.lm_generate_batched(params, prompts, cfg, 6)
+    assert out_b.shape == (3, 6)
+    for i in range(3):
+        out_1 = models.lm_generate(params, prompts[i], cfg, 6)
+        np.testing.assert_array_equal(np.asarray(out_b[i]), np.asarray(out_1))
+    # topk mode runs batched too.
+    out_t = models.lm_generate_batched(
+        params, prompts, cfg, 4, mode="topk", k_pages=1
+    )
+    assert out_t.shape == (3, 4)
+    # Validation mirrors lm_generate's.
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        models.lm_generate_batched(params, prompts[0], cfg, 4)  # not (B, Tp)
+    with _pytest.raises(ValueError):
+        models.lm_generate_batched(params, prompts, cfg, 1000)
+    with _pytest.raises(ValueError):
+        models.lm_generate_batched(params, prompts, cfg, 4, temperature=1.0)
+
+
+def test_lm_generate_batched_sampling_deterministic(rng):
+    cfg = models.TransformerConfig(
+        d_model=128, n_heads=2, seq_len=256, window_blocks=2, n_experts=2,
+        d_ff=128, n_layers=1, vocab=64, dtype=jnp.float32,
+    )
+    params = models.init_lm_params(jax.random.PRNGKey(0), cfg)
+    prompts = jnp.asarray(rng.integers(0, 64, (2, 128)), jnp.int32)
+    k = jax.random.PRNGKey(7)
+    s1 = models.lm_generate_batched(params, prompts, cfg, 5,
+                                    temperature=1.0, key=k)
+    s2 = models.lm_generate_batched(params, prompts, cfg, 5,
+                                    temperature=1.0, key=k)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
