@@ -86,14 +86,19 @@ def run(d: int = 4096, density: float = 0.25, dtype_name: str = "bfloat16",
     # the deeper dot saves) and bres == qstream (panel HBM traffic already
     # hidden); this sweep chases the remaining per-step cost: q at ref
     # accum, and the q8 kcat point kept as the depth-thesis control.
+    from sputnik_tpu.kernels import bsr_cstack
+
     extras = {
         "qstream_q2_ref": functools.partial(bsr_qstream.dsd_q, q=2),
         "qstream_q6_ref": functools.partial(bsr_qstream.dsd_q, q=6),
         "qstream_q8_ref": functools.partial(bsr_qstream.dsd_q, q=8),
         "qstream_q4_nt2048": functools.partial(
             bsr_qstream.dsd_q, q=4, n_tile=2048),
-        "bres_q4_kcat": functools.partial(bsr_qstream.dsd_bres, q=4),
-        "bres_q8_kcat": functools.partial(bsr_qstream.dsd_bres, q=8),
+        "cstack_q4": functools.partial(bsr_cstack.dsd_cstack, q=4),
+        "cstack_q8": functools.partial(bsr_cstack.dsd_cstack, q=8),
+        "cstack_q16": functools.partial(bsr_cstack.dsd_cstack, q=16),
+        "cstack_q8_nt4096": functools.partial(
+            bsr_cstack.dsd_cstack, q=8, n_tile=4096),
     }
     for name, fn in extras.items():
         try:

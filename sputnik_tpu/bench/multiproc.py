@@ -20,7 +20,10 @@ Cases (each compared against the fp64/np dense oracle on every process):
   moe_train     dp x tp MoE train step (loss + grads; ``psum`` over data)
 
 Launcher (spawns the workers, collects the artifact):
-  python -m sputnik_tpu.bench.multiproc [--nproc 2] [--out MULTIPROC.json]
+  python -m sputnik_tpu.bench.multiproc [--nproc 2 4] [--out MULTIPROC.json]
+With several proc counts the artifact is {"runs": [...]} — one entry per
+count — so a single file records how far past 2 controllers the paths
+have been exercised (round-3 verdict asked for {2, 4}).
 Worker (internal): invoked by the launcher with _MP_PROC/_MP_NPROC/_MP_PORT.
 """
 
@@ -203,10 +206,24 @@ def main():
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--nproc", type=int, default=2)
+    ap.add_argument("--nproc", type=int, nargs="+", default=[2, 4])
     ap.add_argument("--out", default="MULTIPROC.json")
     ap.add_argument("--timeout", type=int, default=1800)
     args = ap.parse_args()
+
+    runs = []
+    for nproc in args.nproc:
+        _launch_one(nproc, args.out, args.timeout)
+        with open(args.out) as f:
+            runs.append(json.load(f))
+    artifact = runs[0] if len(runs) == 1 else {"runs": runs}
+    with open(args.out, "w") as f:
+        json.dump(artifact, f, indent=2)
+    counts = [r["nproc"] for r in runs]
+    print(f"ALL CASES OK across process counts {counts}")
+
+
+def _launch_one(nproc: int, out: str, timeout: int):
     import socket
     import tempfile
 
@@ -216,13 +233,13 @@ def main():
         port = s.getsockname()[1]
     procs, logs = [], []
     try:
-        for i in range(args.nproc):
+        for i in range(nproc):
             env = dict(
                 os.environ,
                 _MP_PROC=str(i),
-                _MP_NPROC=str(args.nproc),
+                _MP_NPROC=str(nproc),
                 _MP_PORT=str(port),
-                _MP_OUT=(args.out if i == 0 else ""),
+                _MP_OUT=(out if i == 0 else ""),
             )
             # Workers must re-exec this module so XLA_FLAGS lands before
             # jax imports; proc 0's output flows through, the others' go
@@ -238,7 +255,7 @@ def main():
                 stdout=log if log else None,
                 stderr=subprocess.STDOUT,
             ))
-        codes = [p.wait(timeout=args.timeout) for p in procs]
+        codes = [p.wait(timeout=timeout) for p in procs]
     finally:
         # A worker that died mid-collective leaves its siblings blocked in
         # gloo: never leak them past the launcher.
@@ -252,8 +269,9 @@ def main():
                 log.seek(0)
                 tail = log.read()[-2000:]
                 print(f"--- rank {i} log tail ---\n{tail}", file=sys.stderr)
-        raise SystemExit(f"multiproc validation FAILED: exit codes {codes}")
-    print(f"ALL CASES OK across {args.nproc} processes")
+        raise SystemExit(
+            f"multiproc validation FAILED at nproc={nproc}: exit codes {codes}"
+        )
 
 
 if __name__ == "__main__":

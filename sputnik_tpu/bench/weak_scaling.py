@@ -24,7 +24,10 @@ all-gather's — the schedule changes WHEN bytes move, not how many).
 
 Run:  python -m sputnik_tpu.bench.weak_scaling [--rows-per-shard 131072]
       [--density 0.002] [--n 64] [--shards 1 2 4 8] [--cpu]
-Writes JSON lines to stdout.
+      [--out WEAK_SCALING.json]
+Writes JSON lines to stdout; ``--out`` additionally writes the list as one
+JSON artifact (the committed ``WEAK_SCALING.json`` carries the BASELINE
+1M-row config: 131072 rows/shard x 8 shards, density 0.002, n=64).
 """
 
 from __future__ import annotations
@@ -35,7 +38,36 @@ import sys
 import time
 
 
-def run(rows_per_shard: int, density: float, n: int, shard_counts, use_cpu: bool):
+def _fast_random_csr(rng, rows, cols, nnz, dtype):
+    """Vectorized random CSR for benchmark-scale topologies.
+
+    ``testing.random_csr`` samples cells without replacement and loops rows
+    in Python — O(rows*cols) memory and minutes at 1M rows. Benchmarks only
+    need a statistically representative pattern: sample (row, col) WITH
+    replacement and sort by row (duplicate columns within a row are legal
+    in the format — the reference's own padding duplicates valid ids,
+    ``matrix_utils.cu:272-282``).
+    """
+    import numpy as np
+    import jax.numpy as jnp
+
+    from sputnik_tpu.formats import CsrMatrix
+
+    r = rng.integers(0, rows, nnz, dtype=np.int64)
+    c = rng.integers(0, cols, nnz, dtype=np.int32)
+    order = np.argsort(r, kind="stable")
+    r, c = r[order], c[order]
+    offsets = np.zeros(rows + 1, np.int32)
+    np.cumsum(np.bincount(r, minlength=rows), out=offsets[1:])
+    values = rng.standard_normal(nnz).astype(np.float32)
+    return CsrMatrix.create(
+        jnp.asarray(values, dtype=dtype), jnp.asarray(c),
+        jnp.asarray(offsets), (rows, cols),
+    )
+
+
+def run(rows_per_shard: int, density: float, n: int, shard_counts, use_cpu: bool,
+        iters: int = 5):
     if use_cpu:
         # Must happen before jax initializes: a plain-cpu backend exposes
         # ONE device, silently degrading every multi-shard row to S=1.
@@ -70,7 +102,10 @@ def run(rows_per_shard: int, density: float, n: int, shard_counts, use_cpu: bool
         rows = rows_per_shard * s
         cols = max(128 * 8, 1024)
         nnz = int(rows * cols * density)
-        c = testing.random_csr(rng, rows, cols, nnz)
+        if rows * cols > 1 << 26:
+            c = _fast_random_csr(rng, rows, cols, nnz, jnp.float32)
+        else:
+            c = testing.random_csr(rng, rows, cols, nnz)
         sharded = parallel.partition_sell_rows(c, s)
         b = jnp.asarray(rng.standard_normal((cols, n)).astype(np.float32))
         mesh = Mesh(np.array(devices[:s]), ("x",))
@@ -99,10 +134,10 @@ def run(rows_per_shard: int, density: float, n: int, shard_counts, use_cpu: bool
         )
         out = jax.block_until_ready(fn(sharded.values, sharded.indices, b))
         t0 = time.perf_counter()
-        for _ in range(5):
+        for _ in range(iters):
             out = fn(sharded.values, sharded.indices, b)
         jax.block_until_ready(out)
-        t = (time.perf_counter() - t0) / 5
+        t = (time.perf_counter() - t0) / iters
         results.append(
             {
                 "shards": s,
@@ -144,9 +179,18 @@ def main():
     ap.add_argument("--n", type=int, default=64)
     ap.add_argument("--shards", type=int, nargs="+", default=[1, 2, 4, 8])
     ap.add_argument("--cpu", action="store_true", help="force the CPU mesh")
+    ap.add_argument("--out", default=None, help="also write the JSON list here")
+    ap.add_argument("--iters", type=int, default=5)
     args = ap.parse_args()
-    for r in run(args.rows_per_shard, args.density, args.n, args.shards, args.cpu):
+    results = run(
+        args.rows_per_shard, args.density, args.n, args.shards, args.cpu,
+        iters=args.iters,
+    )
+    for r in results:
         print(json.dumps(r))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -18,6 +18,8 @@ import jax.numpy as jnp
 
 from sputnik_tpu.formats import BlockSparseMatrix
 from sputnik_tpu.kernels import (
+    bsr_cstack,
+    xla_gather,
     bsr_dsd,
     bsr_cres,
     bsr_dsd_pipelined,
@@ -199,6 +201,47 @@ registry.register(
 registry.register("dsd", "pallas_cres", _dsd_cres_can, bsr_cres.dsd_cres)
 
 
+def _dsd_cstack_can(a, b, transpose_a=False, transpose_b=False,
+                    out_dtype=None, **kw):
+    """Column-stacked C-resident schedule: q same-k blocks in ONE
+    (q*bs, bs) @ (bs, nt) dot — m streams q*128 rows per MXU fill (the
+    round-4 m-tile probe's lever). No transposed-A (the stacked lhs would
+    need per-block transposes); accumulator must fit VMEM at nt >= 128."""
+    if transpose_a:
+        return False
+    if not _dsd_can(a, b, transpose_a=transpose_a, transpose_b=transpose_b,
+                    out_dtype=out_dtype):
+        return False
+    return bsr_cstack.cstack_fits(a.rows, 128)
+
+
+registry.register("dsd", "pallas_cstack", _dsd_cstack_can,
+                  bsr_cstack.dsd_cstack)
+registry.register(
+    "dsd", "pallas_cstack_q4", _dsd_cstack_can,
+    functools.partial(bsr_cstack.dsd_cstack, q=4),
+)
+
+
+def _dsd_gather_can(a, b, transpose_a=False, transpose_b=False,
+                    out_dtype=None, **kw):
+    """Pure-XLA gather + one batched deep dot: concrete metadata only
+    (slot maps are planned host-side); ragged rows pad to the max width.
+    Registered after the Pallas schedules — it pays a measured HBM
+    materialization for XLA's deeper MXU schedule, so it reaches dispatch
+    via variant=/autotune, not first-fit."""
+    if transpose_a:
+        return False
+    if not _dsd_can(a, b, transpose_a=transpose_a, transpose_b=transpose_b,
+                    out_dtype=out_dtype):
+        return False
+    return _concrete(a.offsets, a.indices)
+
+
+registry.register("dsd", "xla_gather_bmm", _dsd_gather_can,
+                  xla_gather.dsd_gather_bmm)
+
+
 def _dsd_gres_can(a, b, transpose_a=False, transpose_b=False, out_dtype=None,
                   plan=None, **kw):
     """Group-resident schedule (host-planned): concrete metadata or a
@@ -280,6 +323,17 @@ def matmul_dsd(
     **options,
 ) -> jax.Array:
     """C[M, N] = op(A_sparse) @ op(B_dense)   (reference ``block/dsd/dsd.h``)."""
+    k_a = a.rows if transpose_a else a.cols
+    k_b = b.shape[1] if transpose_b else b.shape[0]
+    if k_a != k_b:
+        # Trace-time ValidMatmul (reference arguments.h:217-231): every
+        # variant — including the jnp fallback — must fail with the same
+        # labeled error, not a backend TypeError.
+        raise ValueError(
+            f"dsd contraction mismatch: op(A) gives k={k_a}, op(B) gives "
+            f"k={k_b} (A {a.shape} ta={transpose_a}, B {b.shape} "
+            f"tb={transpose_b})"
+        )
     return registry.dispatch(
         "dsd",
         a,
@@ -393,6 +447,22 @@ def _dds_bres_can(a, b, transpose_a=False, transpose_b=False, out_dtype=None,
 
 
 registry.register("dds", "pallas_bres", _dds_bres_can, bsr_qstream.dds_bres)
+
+
+def _dds_gather_can(a, b, transpose_a=False, transpose_b=False,
+                    out_dtype=None, **kw):
+    """Mirror of xla_gather_bmm: uniform block-COLUMNS of B, concrete
+    metadata, no transpose_b (B^T's columns are B's rows)."""
+    if transpose_b:
+        return False
+    if not _dds_can(a, b, transpose_a=transpose_a, transpose_b=transpose_b,
+                    out_dtype=out_dtype):
+        return False
+    return xla_gather.uniform_col_width(b) is not None
+
+
+registry.register("dds", "xla_gather_bmm", _dds_gather_can,
+                  xla_gather.dds_gather_bmm)
 registry.register("dds", "pallas_stream_at", _dds_can, _dds_stream_at)
 registry.register("dds", "pallas_panel", _dds_panel_can, bsr_panel.dds_panel)
 registry.register("dds", "pallas_pipelined", _dds_can, bsr_dsd_pipelined.dds)
@@ -410,6 +480,14 @@ def matmul_dds(
     **options,
 ) -> jax.Array:
     """C[M, N] = op(A_dense) @ op(B_sparse)   (reference ``block/dds/dds.h``)."""
+    k_a = a.shape[0] if transpose_a else a.shape[1]
+    k_b = b.cols if transpose_b else b.rows
+    if k_a != k_b:
+        raise ValueError(
+            f"dds contraction mismatch: op(A) gives k={k_a}, op(B) gives "
+            f"k={k_b} (A {a.shape} ta={transpose_a}, B {b.shape} "
+            f"tb={transpose_b})"
+        )
     return registry.dispatch(
         "dds",
         a,

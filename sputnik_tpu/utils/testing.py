@@ -161,17 +161,30 @@ def random_bsr(
     dtype=jnp.float32,
     pad_rows_to: int = 1,
     unordered: bool = False,
+    perfect_uniform: bool = False,
 ) -> BlockSparseMatrix:
     """Random BSR with ``nnz`` nonzero *elements* rounded up to whole blocks
-    (the reference rounds nnz up to block^2, ``block/matrix_utils.cu:7-95``)."""
+    (the reference rounds nnz up to block^2, ``block/matrix_utils.cu:7-95``).
+    ``perfect_uniform``: every block-row gets exactly nnz_blocks/block_rows
+    blocks (the reference's PERFECT_UNIFORM, ``matrix_utils.cu:307-342``);
+    nnz is rounded up to a block-row multiple."""
     if rows % block_size or cols % block_size:
         raise ValueError("shape must be divisible by block_size")
     bs = block_size
     nnz_blocks = max(-(-nnz // (bs * bs)), 0)
     nnz_blocks = min(nnz_blocks, (rows // bs) * (cols // bs))
-    offsets, indices, pad = random_bsr_topology(
-        rng, rows, cols, nnz_blocks, bs, pad_rows_to=pad_rows_to, unordered=unordered
-    )
+    if perfect_uniform:
+        br = rows // bs
+        nnz_blocks = min(-(-nnz_blocks // br) * br, br * (cols // bs))
+        offsets, indices, pad = _random_topology(
+            rng, br, cols // bs, nnz_blocks, perfect_uniform=True,
+            unordered=unordered,
+        )
+    else:
+        offsets, indices, pad = random_bsr_topology(
+            rng, rows, cols, nnz_blocks, bs, pad_rows_to=pad_rows_to,
+            unordered=unordered,
+        )
     data = rng.standard_normal((len(indices), bs, bs)).astype(np.float32)
     data[pad] = 0.0
     return BlockSparseMatrix.create(

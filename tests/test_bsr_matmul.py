@@ -766,3 +766,106 @@ def test_sdd_bres_schedule_reuse(rng):
         reference.extract_blocks(jnp.asarray(full.astype(np.float32)), topo)
     )
     _check(out.data, expected)
+
+
+@pytest.mark.parametrize("tb", [False, True])
+@pytest.mark.parametrize("q", [4, 8])
+def test_cstack_variant(rng, tb, q):
+    """Column-stacked C-resident DSD (round 4): q same-k blocks in one
+    (q*bs, bs) dot, accumulated into a VMEM-resident output at each
+    block's own row. Ragged columns exercise the padded slots; unordered
+    indices the dep-major regrouping; n > n_tile the multi-pass flush."""
+    m, k, n = 640, 384, 512
+    a_shape, b_shape = _dims(m, k, n, False, tb)
+    a = _mk_sparse(rng, *a_shape, 0.3, True)
+    b = jnp.asarray(rng.standard_normal(b_shape).astype(np.float32))
+    out = ops.matmul_dsd(
+        a, b, transpose_b=tb, variant="pallas_cstack", q=q, n_tile=256
+    )
+    expected = testing.dense_oracle_matmul(
+        np.asarray(a.to_dense()), np.asarray(b), transpose_b=tb
+    )
+    _check(out, expected)
+    # transpose_a is gated out at the registry level.
+    with pytest.raises(ValueError):
+        ops.matmul_dsd(a, b.T, transpose_a=True, transpose_b=not tb,
+                       variant="pallas_cstack")
+
+
+@pytest.mark.parametrize("tb", [False, True])
+@pytest.mark.parametrize("unordered", [False, True])
+def test_dsd_gather_bmm(rng, tb, unordered):
+    """Pure-XLA gather+bmm variant (round 4): PERFECT_UNIFORM rows only
+    (reference ``matrix_utils.cu:307-342``); unordered indices exercise
+    order-free accumulation over the gathered panels."""
+    m, k, n = 512, 768, 384
+    a_shape, b_shape = _dims(m, k, n, False, tb)
+    a = testing.random_bsr(rng, *a_shape, int(m * k * 0.4), BS,
+                           perfect_uniform=True, unordered=unordered)
+    b = jnp.asarray(rng.standard_normal(b_shape).astype(np.float32))
+    out = ops.matmul_dsd(a, b, transpose_b=tb, variant="xla_gather_bmm")
+    expected = testing.dense_oracle_matmul(
+        np.asarray(a.to_dense()), np.asarray(b), transpose_b=tb
+    )
+    _check(out, expected)
+
+
+@pytest.mark.parametrize("ta", [False, True])
+def test_dds_gather_bmm(rng, ta):
+    """Mirror gather variant: uniform block-COLUMNS of B (built by
+    transposing a perfect-uniform-row pattern)."""
+    m, k, n = 384, 640, 512
+    a_shape, _ = _dims(m, k, n, ta, False)
+    bt = testing.random_bsr(rng, n, k, int(n * k * 0.4), BS,
+                            perfect_uniform=True)
+    # Uniform rows of B^T == uniform columns of B.
+    from sputnik_tpu import formats
+
+    b = formats.bsr_from_dense(jnp.asarray(bt.to_dense()).T, BS)
+    a = jnp.asarray(rng.standard_normal(a_shape).astype(np.float32))
+    out = ops.matmul_dds(a, b, transpose_a=ta, variant="xla_gather_bmm")
+    expected = testing.dense_oracle_matmul(
+        np.asarray(a), np.asarray(b.to_dense()), transpose_a=ta
+    )
+    _check(out, expected)
+
+
+def test_gather_bmm_gates(rng):
+    """Transposed-sparse modes and traced metadata are gated out."""
+    au = testing.random_bsr(rng, 512, 512, int(512 * 512 * 0.25), BS,
+                            perfect_uniform=True)
+    b = jnp.asarray(rng.standard_normal((512, 256)).astype(np.float32))
+    with pytest.raises(ValueError):
+        ops.matmul_dsd(au, b.T, transpose_a=True, transpose_b=True,
+                       variant="xla_gather_bmm")
+    # Traced metadata cannot be slot-planned host-side.
+    with pytest.raises(ValueError):
+        jax.jit(
+            lambda a_, b_: ops.matmul_dsd(a_, b_, variant="xla_gather_bmm")
+        )(au, b)
+
+
+@pytest.mark.parametrize("tb", [False, True])
+def test_dsd_gather_bmm_ragged(rng, tb):
+    """Ragged rows pad to max width with a gathered zero block."""
+    m, k, n = 640, 512, 384
+    a_shape, b_shape = _dims(m, k, n, False, tb)
+    a = _mk_sparse(rng, *a_shape, 0.3, True)
+    b = jnp.asarray(rng.standard_normal(b_shape).astype(np.float32))
+    out = ops.matmul_dsd(a, b, transpose_b=tb, variant="xla_gather_bmm")
+    expected = testing.dense_oracle_matmul(
+        np.asarray(a.to_dense()), np.asarray(b), transpose_b=tb
+    )
+    _check(out, expected)
+
+
+def test_contraction_mismatch_labeled_error(rng):
+    """Trace-time ValidMatmul (reference arguments.h:217-231): mismatched
+    contraction raises the labeled ValueError on EVERY dispatch path,
+    including the jnp fallback (non-128 shapes used to surface a raw
+    backend TypeError)."""
+    a = _mk_sparse(rng, 256, 256, 0.5, False)
+    with pytest.raises(ValueError, match="contraction mismatch"):
+        ops.matmul_dsd(a, jnp.zeros((99, 4)))
+    with pytest.raises(ValueError, match="contraction mismatch"):
+        ops.matmul_dds(jnp.zeros((4, 99)), a)
