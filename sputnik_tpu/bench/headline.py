@@ -99,6 +99,14 @@ def run(d: int = 4096, density: float = 0.25, dtype_name: str = "bfloat16",
         "cstack_q16": functools.partial(bsr_cstack.dsd_cstack, q=16),
         "cstack_q8_nt4096": functools.partial(
             bsr_cstack.dsd_cstack, q=8, n_tile=4096),
+        # The round-4 dense tile sweep's law (docs/mxu_probe.json): per-dot
+        # STREAMING length bm >= 512 is the MXU lever — (512,128,2048) runs
+        # 0.818 of peak and (1024,128,1024) 0.803 where (128,*,*) caps at
+        # 0.47-0.77. These are cstack's exact dot shapes at:
+        "cstack_q4_nt2048": functools.partial(
+            bsr_cstack.dsd_cstack, q=4, n_tile=2048),
+        "cstack_q8_nt1024": functools.partial(
+            bsr_cstack.dsd_cstack, q=8, n_tile=1024),
     }
     for name, fn in extras.items():
         try:

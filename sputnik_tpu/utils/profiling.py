@@ -249,7 +249,7 @@ def device_time(
         trace_dir = tempfile.mkdtemp(prefix="sputnik_prof_")
         started = False
         try:
-            if not _watchdog(jax.profiler.start_trace, trace_dir, timeout=15.0):
+            if not _watchdog(jax.profiler.start_trace, trace_dir, timeout=60.0):
                 raise RuntimeError("profiler start_trace hung")
             started = True
             for _ in range(runs):
@@ -260,7 +260,13 @@ def device_time(
             # clips events and silently undercounts (trace_device_events). A
             # settle sleep scaled to the measured wall bounds the race.
             time.sleep(min(2.0, max(0.3, 2.0 * wall * runs * chain)))
-            if not _watchdog(jax.profiler.stop_trace, timeout=30.0):
+            # The FIRST stop_trace of a process ships the profiler plugin
+            # state through the tunnel and has been measured at 10-100 s;
+            # subsequent stops run in ~0.1 s. A short watchdog here flags
+            # the profiler broken on call #1 and silently degrades EVERY
+            # later measurement to wall_delta (the round-4 mxu_probe
+            # garbage-numbers incident) — absorb the one-time cost.
+            if not _watchdog(jax.profiler.stop_trace, timeout=300.0):
                 raise RuntimeError("profiler stop_trace hung")
             started = False
             r = trace_device_events(trace_dir, "jit_chained")
@@ -272,7 +278,7 @@ def device_time(
             # start_trace would then fail and silently drop to wall_delta.
             if started:
                 try:
-                    _watchdog(jax.profiler.stop_trace, timeout=30.0)
+                    _watchdog(jax.profiler.stop_trace, timeout=300.0)
                 except Exception:
                     pass
             import shutil
