@@ -37,7 +37,8 @@ def _itemsize(dtype):
 
 
 def audit(d: int = 2048, density: float = 0.25, dtype_name: str = "bfloat16",
-          chain: int = 8, runs: int = 3, peaks=PEAKS, partial_path=None):
+          chain: int = 8, runs: int = 3, peaks=PEAKS, partial_path=None,
+          only=None, skip=None):
     import jax.numpy as jnp
     from sputnik_tpu import ops
     from sputnik_tpu.ops import csr as csr_ops
@@ -71,6 +72,10 @@ def audit(d: int = 2048, density: float = 0.25, dtype_name: str = "bfloat16",
         from sputnik_tpu.bench.models import VPU_ELEM_OPS, sol_time
 
         pf = peak_flops if pf is None else pf
+        if only and not any(name.startswith(o) for o in only):
+            return
+        if skip and any(name.startswith(o) for o in skip):
+            return
         print(f"[roofline] measuring {name} ...", file=sys.stderr, flush=True)
         try:
             m = device_time(fn, *args, chain=chain, runs=runs,
@@ -145,6 +150,16 @@ def audit(d: int = 2048, density: float = 0.25, dtype_name: str = "bfloat16",
     add(
         "bsr_dds",
         lambda b_, m_: ops.matmul_dds(b_, m_),
+        (b, a),
+        dsd_f,
+        dsd_by,
+        perturb=0,
+    )
+    # Transposed-accumulator mirror (round-4 parity fix): per-slot dots in
+    # DSD's wide-streaming shape + one VPU tile transpose per flush.
+    add(
+        "bsr_dds(ct)",
+        lambda b_, m_: ops.matmul_dds(b_, m_, variant="pallas_ct"),
         (b, a),
         dsd_f,
         dsd_by,
@@ -455,6 +470,11 @@ def main():
     ap.add_argument("--peak-tflops", type=float, default=None)
     ap.add_argument("--peak-gbps", type=float, default=None)
     ap.add_argument("--out", default="docs/roofline_audit.json")
+    ap.add_argument("--only", nargs="+", default=None,
+                    help="measure only ops matching these prefixes and MERGE "
+                         "into --out (tunnel-fault recovery)")
+    ap.add_argument("--skip", nargs="+", default=None,
+                    help="skip ops matching these prefixes")
     args = ap.parse_args()
     peaks = dict(PEAKS)
     if args.peak_tflops:
@@ -462,16 +482,36 @@ def main():
     if args.peak_gbps:
         peaks["hbm_bps"] = args.peak_gbps * 1e9
 
+    def _merge_into_out(rows):
+        # Merge BY OP into whatever --out already holds: a fault-recovery
+        # partial or an --only subset must never clobber prior rows (a
+        # round-4 fault+replace lost a 14-row batch exactly that way).
+        import os
+        prev = []
+        if os.path.exists(args.out):
+            try:
+                with open(args.out) as f:
+                    prev = json.load(f)
+            except Exception:
+                prev = []
+        new_ops = {r["op"] for r in rows}
+        return [r for r in prev if r["op"] not in new_ops] + rows
+
     try:
         rows = audit(args.d, args.density, args.dtype, peaks=peaks,
-                     partial_path=args.out + ".partial")
+                     partial_path=args.out + ".partial", only=args.only,
+                     skip=args.skip)
     except Exception:
         # Setup code between rows touched a poisoned device; publish the
         # measured prefix (flushed row-by-row) before re-raising.
         import os
         if os.path.exists(args.out + ".partial"):
-            os.replace(args.out + ".partial", args.out)
-            print(f"(device fault mid-audit; partial rows kept in {args.out})",
+            with open(args.out + ".partial") as f:
+                partial = json.load(f)
+            with open(args.out, "w") as f:
+                json.dump(_merge_into_out(partial), f, indent=2)
+            os.remove(args.out + ".partial")
+            print(f"(device fault mid-audit; partial rows merged into {args.out})",
                   file=sys.stderr)
         raise
     print(f"# Roofline audit — d={args.d}, density={args.density}, {args.dtype}\n")
@@ -489,6 +529,8 @@ def main():
                 f"| {r['op']} | {r['time_us']:.0f} | {r['gflops']:.0f} | "
                 f"{r['bound']} | {frac} | {achv} | {r['timing']} |"
             )
+    if args.only or args.skip:
+        rows = _merge_into_out(rows)
     with open(args.out, "w") as f:
         json.dump(rows, f, indent=2)
     print(f"\n(written to {args.out})", file=sys.stderr)

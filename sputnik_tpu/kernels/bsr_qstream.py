@@ -46,7 +46,8 @@ from sputnik_tpu.kernels.common import (
     use_interpret,
 )
 
-__all__ = ["dsd_q", "dds_q", "dsd_bres", "dds_bres", "BRES_MAX_DENSE_BYTES"]
+__all__ = ["dsd_q", "dds_q", "dds_ct", "dsd_bres", "dds_bres",
+           "BRES_MAX_DENSE_BYTES"]
 
 
 def _ffill_lane_np(vals, valid, q):
@@ -168,6 +169,7 @@ def _qstream_kernel(
     dims,
     block_first: bool,
     accum: str = "ref",
+    acc_t: bool = False,
 ):
     del dep_q, data_q
     out_ref, acc_ref = refs[-2], refs[-1]
@@ -180,6 +182,33 @@ def _qstream_kernel(
     is_last = jnp.logical_or(j == n_steps - 1, nxt != cur)
 
     n_valid = nv[j]
+    if acc_t:
+        # Transposed accumulate (round-4 dot-shape law, docs/mxu_probe.json):
+        # the DDS output tile is (bm, bs) — a bs=128-wide dot result, the
+        # shape Mosaic caps at ~0.35-0.5 of peak. Computing the TILE
+        # TRANSPOSED flips each slot's dot to (bs, bs) @ (bs, bm) — the
+        # (128-row, wide-streaming) shape that runs ~0.72 — at the cost of
+        # ONE VPU transpose per output tile at flush.
+        @pl.when(is_first)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        for qi in range(q):
+            block_ref = refs[qi]
+            panel_ref = refs[q + qi]
+
+            @pl.when(qi < n_valid)
+            def _(block_ref=block_ref, panel_ref=panel_ref):
+                acc_ref[:] += jax.lax.dot_general(
+                    block_ref[0], panel_ref[:], dims,
+                    preferred_element_type=jnp.float32,
+                )
+
+        @pl.when(is_last)
+        def _():
+            out_ref[:] = acc_ref[:].T.astype(out_ref.dtype)
+
+        return
     if accum in ("value", "kcat"):
         # One accumulator RMW per STEP.
         part = _step_partial(
@@ -238,6 +267,7 @@ def _qstream_call(
     out_dtype,
     interpret: bool,
     accum: str = "ref",
+    acc_t: bool = False,
 ):
     bs = sparse_data.shape[-1]
     concrete = not any(
@@ -274,15 +304,16 @@ def _qstream_call(
 
     kernel = functools.partial(
         _qstream_kernel, n_steps=n_steps, q=q, dims=dims,
-        block_first=block_first, accum=accum,
+        block_first=block_first, accum=accum, acc_t=acc_t,
     )
+    acc_block = (out_block[1], out_block[0]) if acc_t else out_block
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=grid,
         in_specs=[block_spec(i) for i in range(q)]
         + [panel_spec(i) for i in range(q)],
         out_specs=pl.BlockSpec(out_block, out_index),
-        scratch_shapes=[pltpu.VMEM(out_block, jnp.float32)],
+        scratch_shapes=[pltpu.VMEM(acc_block, jnp.float32)],
     )
     panel_bytes = panel_block[0] * panel_block[1] * jnp.dtype(panel.dtype).itemsize
     vmem_limit = min(
@@ -429,6 +460,85 @@ def dds_q(
         out_dtype=out_dtype,
         interpret=interpret,
         accum=accum,
+    )
+    return _mask_empty_groups(out, group_offsets, bs, axis=1, min_hint=min_hint)
+
+
+def dds_ct(
+    a: jax.Array,
+    b: BlockSparseMatrix,
+    *,
+    transpose_a: bool = False,
+    transpose_b: bool = False,
+    out_dtype=None,
+    m_tile: int = 4096,
+    q: int = 4,
+    interpret: bool | None = None,
+    **_,
+) -> jax.Array:
+    """DDS with a TRANSPOSED accumulator (round-4 mirror-parity fix).
+
+    ``dds_q``'s per-slot dot is (bm, bs) @ (bs, bs) — a 128-wide result,
+    which the round-4 dot-shape probes (docs/mxu_probe.json) cap at
+    ~0.35-0.5 of peak; DSD's (bs, bs) @ (bs, bn) runs ~0.72. Computing the
+    output tile transposed — acc (bs, bm) += block' x panel' — gives the
+    mirror the SAME wide-streaming dot shape, then pays one VPU transpose
+    per output tile at flush (M x N elements total per pass: ~4 us at
+    d=4096, amortized over the whole k reduction).
+
+    Semantics identical to :func:`bsr_dsd.dds` (``block/dds/dds.h``); the
+    reference's mirrors are shape-symmetric so it never faced this
+    (CUTLASS epilogues write either orientation at equal cost).
+    """
+    interpret = use_interpret() if interpret is None else interpret
+    out_dtype = out_dtype or b.dtype
+    bs = b.block_size
+    n_dim = b.rows if transpose_b else b.cols
+    k_dim = b.cols if transpose_b else b.rows
+    m_dim = a.shape[1] if transpose_a else a.shape[0]
+    ak = a.shape[0] if transpose_a else a.shape[1]
+    if ak != k_dim:
+        raise ValueError(f"contraction mismatch: B gives k={k_dim}, A gives {ak}")
+    if b.nnz_blocks == 0:
+        return jnp.zeros((m_dim, n_dim), out_dtype)
+
+    out_ids, dep_ids, data_ids = b.iteration_arrays(transposed=not transpose_b)
+    group_offsets = (
+        b.offsets if transpose_b else b.with_transpose_metadata().offsets_t
+    )
+    counts = group_offsets[1:] - group_offsets[:-1]
+    min_hint = b.min_row_nnz if transpose_b else b.min_col_nnz
+    bm = pick_tile(m_dim, m_tile)
+    if transpose_a:  # A stored (K, M): panel (bs, bm), k axis 0
+        panel_index = lambda dep, p: (dep, p)
+        panel_block = (bs, bm)
+        panel_k = 0
+    else:  # A stored (M, K): panel (bm, bs), k axis 1
+        panel_index = lambda dep, p: (p, dep)
+        panel_block = (bm, bs)
+        panel_k = 1
+    block_k = 1 if transpose_b else 0  # block (bs_n, bs_k) if tb else (bs_k, bs_n)
+    dims_t = (((block_k,), (panel_k,)), ((), ()))  # -> (bs_n, bm)
+    out = _qstream_call(
+        sparse_data=b.data,
+        out_ids=out_ids,
+        dep_ids=dep_ids,
+        data_ids=data_ids,
+        counts=counts,
+        panel=a,
+        panel_index=panel_index,
+        panel_block=panel_block,
+        out_rows=m_dim,
+        out_cols=n_dim,
+        out_block=(bm, bs),
+        out_is_row=False,
+        panel_tiles=cdiv(m_dim, bm),
+        q=q,
+        dims=dims_t,
+        block_first=True,
+        out_dtype=out_dtype,
+        interpret=interpret,
+        acc_t=True,
     )
     return _mask_empty_groups(out, group_offsets, bs, axis=1, min_hint=min_hint)
 

@@ -149,6 +149,12 @@ registry.register("dsd", "pallas_stream", _dsd_can, bsr_dsd.dsd)
 # Q-batched stream: q blocks per grid step divides the fixed per-step
 # Pallas cost (the stream kernel's measured overhead at d=4096) by q.
 registry.register("dsd", "pallas_qstream", _dsd_can, bsr_qstream.dsd_q)
+# q=2: the round-4 headline shootout's best point (235.2 us / 0.742 at
+# d=4096 25% — within 4% of the measured bm=128 per-dot ceiling).
+registry.register(
+    "dsd", "pallas_qstream_q2", _dsd_can,
+    functools.partial(bsr_qstream.dsd_q, q=2),
+)
 # Value-accumulate q-stream: sums the q dots in registers and touches the
 # fp32 accumulator once per step (one RMW instead of q) — the candidate
 # fix if the accumulator read-modify-write is the stream schedule's
@@ -418,6 +424,11 @@ def _dds_gres_can(a, b, transpose_a=False, transpose_b=False, out_dtype=None,
 registry.register("dds", "pallas_gres", _dds_gres_can, bsr_cres.dds_gres)
 registry.register("dds", "pallas_stream", _dds_can, bsr_dsd.dds)
 registry.register("dds", "pallas_qstream", _dds_can, bsr_qstream.dds_q)
+# Transposed-accumulator mirror (round-4 parity fix): per-slot dots become
+# (bs, bs) @ (bs, bm) — DSD's wide-streaming shape — instead of the
+# 128-wide (bm, bs) result the dot-shape probes cap at ~0.35-0.5; one VPU
+# tile transpose per flush pays for it.
+registry.register("dds", "pallas_ct", _dds_can, bsr_qstream.dds_ct)
 registry.register(
     "dds", "pallas_qstream_vacc", _dds_can,
     functools.partial(bsr_qstream.dds_q, accum="value"),

@@ -869,3 +869,21 @@ def test_contraction_mismatch_labeled_error(rng):
         ops.matmul_dsd(a, jnp.zeros((99, 4)))
     with pytest.raises(ValueError, match="contraction mismatch"):
         ops.matmul_dds(jnp.zeros((4, 99)), a)
+
+
+@pytest.mark.parametrize("ta,tb", MODES)
+@pytest.mark.parametrize("q", [1, 4])
+def test_dds_ct_variant(rng, ta, tb, q):
+    """Transposed-accumulator DDS (round 4): per-slot (bs,bs)@(bs,bm) dots
+    with a flush transpose — all four modes vs the fp64 oracle; ragged
+    columns exercise the padded slots."""
+    m, k, n = 384, 640, 512
+    a_shape, b_shape = _dims(m, k, n, ta, tb)
+    a = jnp.asarray(rng.standard_normal(a_shape).astype(np.float32))
+    b = _mk_sparse(rng, *b_shape, 0.3, True)
+    out = ops.matmul_dds(a, b, transpose_a=ta, transpose_b=tb,
+                         variant="pallas_ct", q=q, m_tile=256)
+    expected = testing.dense_oracle_matmul(
+        np.asarray(a), np.asarray(b.to_dense()), transpose_a=ta, transpose_b=tb
+    )
+    _check(out, expected)
