@@ -154,6 +154,93 @@ def resident_stream(a, b, *, depth: int, mt: int = 128,
     )(a, b)
 
 
+def _sweep_kernel(a_ref, b_ref, out_ref, acc_ref, *, k_steps):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        a_ref[:], b_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == k_steps - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def tiled_matmul(a, b, *, bm, bk, bn, interpret: bool | None = None):
+    """Dense pipelined 3D-grid matmul at an explicit (bm, bk, bn) tile —
+    the probe behind the round-4 per-dot shape law (PERFORMANCE.md):
+    per-dot streaming length bm is the MXU lever; bm=128 caps at ~0.77 at
+    ANY depth while (512, 4096, 512) reaches 0.93."""
+    interpret = use_interpret() if interpret is None else interpret
+    m, k = a.shape
+    _, n = b.shape
+    k_steps = k // bk
+    return pl.pallas_call(
+        functools.partial(_sweep_kernel, k_steps=k_steps),
+        grid=(m // bm, n // bn, k_steps),
+        in_specs=[pl.BlockSpec((bm, bk), lambda i, p, j: (i, j)),
+                  pl.BlockSpec((bk, bn), lambda i, p, j: (j, p))],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, p, j: (i, p)),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((m, n), a.dtype),
+        compiler_params=compiler_params(
+            ("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 << 20,
+        ),
+        interpret=interpret,
+    )(a, b)
+
+
+# The round-4 sweep grid: the XLA-class shapes, the shallow-bk corner the
+# sparse schedules are constrained to, and the tall-skinny failure row.
+SWEEP_CONFIGS = (
+    (128, 2048, 2048),
+    (256, 1024, 1024), (256, 2048, 1024),
+    (512, 512, 512), (512, 1024, 1024), (512, 2048, 1024), (512, 4096, 512),
+    (1024, 1024, 1024),
+    (512, 128, 1024), (512, 128, 2048), (1024, 128, 1024), (1024, 128, 512),
+    (512, 256, 1024), (1024, 256, 1024),
+    (2048, 128, 128), (4096, 128, 128), (4096, 128, 256),
+)
+
+
+def run_dense_sweep(m=1024, k=4096, n=4096, configs=SWEEP_CONFIGS,
+                    chain=4, runs=3):
+    from sputnik_tpu.utils.profiling import device_time
+
+    rng = np.random.default_rng(7)
+    a = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal((k, n)), jnp.bfloat16)
+    flops = 2.0 * m * k * n
+    rows = []
+    for bm, bk, bn in configs:
+        if m % bm or k % bk or n % bn:
+            continue
+        try:
+            meas = device_time(
+                functools.partial(tiled_matmul, bm=bm, bk=bk, bn=bn),
+                a, b, chain=chain, runs=runs, perturb_index=0)
+        except Exception as e:
+            rows.append({"bm": bm, "bk": bk, "bn": bn,
+                         "error": str(e)[:120]})
+            continue
+        t = meas["time_s"]
+        rows.append({
+            "bm": bm, "bk": bk, "bn": bn, "m": m, "k": k, "n": n,
+            "time_us": t * 1e6, "tflops": flops / t / 1e12,
+            "frac_peak": flops / t / PEAK_BF16, "timing": meas["timing"],
+        })
+        print(f"# bm{bm} bk{bk} bn{bn}: {t*1e6:7.1f} us  "
+              f"{flops/t/1e12:6.1f} TF  {flops/t/PEAK_BF16:.3f} of peak",
+              file=sys.stderr, flush=True)
+    return rows
+
+
 def run(m=1024, k=4096, n=4096, depths=(128, 256, 512, 1024, 2048, 4096),
         chain=4, runs=3):
     from sputnik_tpu.utils.profiling import device_time
@@ -215,7 +302,27 @@ def main():
     ap.add_argument("--k", type=int, default=4096)
     ap.add_argument("--n", type=int, default=4096)
     ap.add_argument("--out", default="docs/mxu_probe.json")
+    ap.add_argument("--dense-sweep", action="store_true",
+                    help="run the (bm, bk, bn) tile-shape sweep instead "
+                         "(writes docs/tile_sweep.json unless --out given)")
     args = ap.parse_args()
+    if args.dense_sweep:
+        if args.out == "docs/mxu_probe.json":
+            args.out = "docs/tile_sweep.json"
+        rows = run_dense_sweep(m=args.m, k=args.k, n=args.n)
+        print("| bm | bk | bn | time (us) | TFLOP/s | frac of 197 peak |")
+        print("|---|---|---|---|---|---|")
+        for r in rows:
+            if "error" in r:
+                print(f"| {r['bm']} | {r['bk']} | {r['bn']} | ERROR | | |")
+            else:
+                print(f"| {r['bm']} | {r['bk']} | {r['bn']} | "
+                      f"{r['time_us']:.1f} | {r['tflops']:.1f} | "
+                      f"{r['frac_peak']:.2f} |")
+        with open(args.out, "w") as f:
+            json.dump(rows, f, indent=2)
+        print(f"(written to {args.out})", file=sys.stderr)
+        return
     rows = run(m=args.m, k=args.k, n=args.n)
     print("| variant | time (us) | TFLOP/s | frac of 197 peak |")
     print("|---|---|---|---|")
