@@ -184,14 +184,27 @@ def run(d: int, densities, dtype_name="bfloat16", chain=8, runs=3,
             def _densify_model():
                 return 2 * d * d * d, 3 * d * d * isz + 2 * topo.nnz * isz
 
+            def _best_bound(flat_f, flat_by):
+                # Speed-of-light = the BEST implementable strategy's bound,
+                # independent of which one dispatch picked: the exact flat
+                # work list (fewer flops, per-item bytes) OR the densify
+                # detour (more flops, fewer bytes). Round-4 grid shipped
+                # fractions > 1 for ssd/sds at 0.5 by assuming dispatch's
+                # own path was the bound.
+                det_f, det_by = _densify_model()
+                t_flat = sol_time(flat_f, flat_by, peak_flops=peak_flops,
+                                  hbm_bps=bw)
+                t_det = sol_time(det_f, det_by, peak_flops=peak_flops,
+                                 hbm_bps=bw)
+                return (flat_f, flat_by) if t_flat <= t_det else (det_f, det_by)
+
             if ops_filter is None or "ssd" in ops_filter:
                 use_flat = density < 0.25
-                sched = ops.plan_ssd(a, topo, transpose_a=ta) if use_flat else None
-                if use_flat:
-                    f, by = sparse_out_flat_model(
-                        total_items=sched.total, nnz_out=topo.nnz, isz=isz)
-                else:
-                    f, by = _densify_model()
+                sched = ops.plan_ssd(a, topo, transpose_a=ta)
+                f, by = _best_bound(*sparse_out_flat_model(
+                    total_items=sched.total, nnz_out=topo.nnz, isz=isz))
+                if not use_flat:
+                    sched = None
                 kw = {"schedule": sched} if use_flat else {}
                 add("ssd", ta, tb, density,
                     lambda a_, b_, ta=ta, tb=tb, kw=kw: ops.matmul_ssd(
@@ -202,12 +215,11 @@ def run(d: int, densities, dtype_name="bfloat16", chain=8, runs=3,
                     vkwargs=dict(transpose_a=ta, transpose_b=tb, **kw))
             if ops_filter is None or "sds" in ops_filter:
                 use_flat = density < 0.25
-                sched = ops.plan_sds(a, topo, transpose_b=tb) if use_flat else None
-                if use_flat:
-                    f, by = sparse_out_flat_model(
-                        total_items=sched.total, nnz_out=topo.nnz, isz=isz)
-                else:
-                    f, by = _densify_model()
+                sched = ops.plan_sds(a, topo, transpose_b=tb)
+                f, by = _best_bound(*sparse_out_flat_model(
+                    total_items=sched.total, nnz_out=topo.nnz, isz=isz))
+                if not use_flat:
+                    sched = None
                 kw = {"schedule": sched} if use_flat else {}
                 add("sds", ta, tb, density,
                     lambda b_, a_, ta=ta, tb=tb, kw=kw: ops.matmul_sds(
@@ -218,13 +230,11 @@ def run(d: int, densities, dtype_name="bfloat16", chain=8, runs=3,
                     vkwargs=dict(transpose_a=ta, transpose_b=tb, **kw))
             if ops_filter is None or "dss" in ops_filter:
                 use_flat = density * density < 0.1
-                sched = (ops.plan_dss(a, topo, transpose_a=ta, transpose_b=tb)
-                         if use_flat else None)
-                if use_flat:
-                    f, by = dss_flat_model(total_items=sched.total, m=d, n=d,
-                                           isz=isz)
-                else:
-                    f, by = _densify_model()
+                sched = ops.plan_dss(a, topo, transpose_a=ta, transpose_b=tb)
+                f, by = _best_bound(*dss_flat_model(
+                    total_items=sched.total, m=d, n=d, isz=isz))
+                if not use_flat:
+                    sched = None
                 kw = {"schedule": sched} if use_flat else {}
                 add("dss", ta, tb, density,
                     lambda a_, b_, ta=ta, tb=tb, kw=kw: ops.matmul_dss(

@@ -68,7 +68,7 @@ def audit(d: int = 2048, density: float = 0.25, dtype_name: str = "bfloat16",
     rows = []
 
     def add(name, fn, args, flops, bytes_moved, perturb=0, vpu=0,
-            perturb_mode="row", pf=None):
+            perturb_mode="row", pf=None, chain_override=None):
         from sputnik_tpu.bench.models import VPU_ELEM_OPS, sol_time
 
         pf = peak_flops if pf is None else pf
@@ -78,7 +78,8 @@ def audit(d: int = 2048, density: float = 0.25, dtype_name: str = "bfloat16",
             return
         print(f"[roofline] measuring {name} ...", file=sys.stderr, flush=True)
         try:
-            m = device_time(fn, *args, chain=chain, runs=runs,
+            m = device_time(fn, *args,
+                            chain=chain_override or chain, runs=runs,
                             perturb_index=perturb, perturb_mode=perturb_mode)
         except Exception as e:  # record the failure, keep auditing
             rows.append({"op": name, "error": str(e)[:120]})
@@ -336,6 +337,13 @@ def audit(d: int = 2048, density: float = 0.25, dtype_name: str = "bfloat16",
         sm2_by,
         perturb=0,
         vpu=8 * topo.nnz,  # online stats + epilogue exp/normalize
+        # Two+ instances of this kernel pair in ONE executable fault the
+        # device (round-4 isolation: pass1-only chains fine, epilogue-only
+        # chains fine, the composition does not — a Mosaic-level
+        # producer/consumer issue). chain=1 is sound under the
+        # interval-union trace protocol (dispatch latency lands in the
+        # gaps between events, not inside them).
+        chain_override=1,
     )
 
     # CSR engine (SELL fast paths) at the north-star config scale.

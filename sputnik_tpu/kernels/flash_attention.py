@@ -386,13 +386,23 @@ def sdd_softmax_fused(
     n_items = n_steps * group
     if not isinstance(flags, jax.core.Tracer):
         fl = np.asarray(flags)
-        pos = np.full((n_items,), nnz, np.int32)
+        # Every slot gets a UNIQUE output block: real slots their packed
+        # position, padding slots distinct discard slots past nnz. Routing
+        # ALL pads to one shared slot made that block's writes revisit
+        # non-contiguously across the grid — outside Pallas' output
+        # contract — and faulted the device when the kernel appeared more
+        # than once in an executable (round-4 fault isolation).
+        pad_idx = np.nonzero(fl == 0)[0]
+        pos = np.empty((n_items,), np.int32)
         pos[np.nonzero(fl)[0]] = np.arange(nnz, dtype=np.int32)
+        pos[pad_idx] = nnz + np.arange(len(pad_idx), dtype=np.int32)
         pos = jnp.asarray(pos)
         rows_items = jnp.asarray(np.repeat(np.asarray(rows), group))
+        n_out = n_items
     else:
         pos = jnp.arange(nnz, dtype=jnp.int32)  # group == 1, no padding
         rows_items = rows
+        n_out = nnz + 1
 
     def _norm_kernel(rows_i, pos_i, s_ref, m_ref, l_ref, out_ref):
         del rows_i, pos_i
@@ -415,7 +425,7 @@ def sdd_softmax_fused(
             ],
             out_specs=pl.BlockSpec((1, bs, bs), lambda i, r_, p_: (p_[i], 0, 0)),
         ),
-        out_shape=jax.ShapeDtypeStruct((nnz + 1, bs, bs), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((n_out, bs, bs), out_dtype),
         compiler_params=compiler_params(("arbitrary",)),
         interpret=interpret,
     )(rows_items, pos, scores_pad, m_stat, l_stat)

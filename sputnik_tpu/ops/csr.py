@@ -260,12 +260,23 @@ def _sparse_softmax_sell_jnp(a: SellMatrix, *, scale: float | None = None) -> Se
     return a.with_values((e / s).astype(a.dtype))
 
 
-def sparse_softmax_sell(a: SellMatrix, *, scale: float | None = None) -> SellMatrix:
-    """Row softmax over a SELL matrix — fused Pallas kernel (round 3):
-    values+indices cross HBM once each plus one write, vs the jnp chain's
-    ~5-7 slot passes (audit 0.36 -> see PERFORMANCE.md). Differentiable:
-    the backward uses the softmax Jacobian on the kernel's own output
-    (padded slots carry p=0, so their cotangent vanishes)."""
+def sparse_softmax_sell(a: SellMatrix, *, scale: float | None = None,
+                        variant: str = "jnp") -> SellMatrix:
+    """Row softmax over a SELL matrix.
+
+    Default is the fused XLA chain: measured v5e d=2048/10% f32 (round-4
+    device-trace harness): jnp 6.6 us vs the round-3 Pallas kernel's
+    16.8 us — the same verdict as the BSR softmax study (XLA fuses the
+    whole slot-rectangle chain with no per-step cost; softmax does too
+    little VPU work per slot for a grid to pay). The round-3 audit's
+    41 us / 0.10 row was THIS kernel as the then-default. The kernel
+    stays as ``variant="pallas"`` (and the second oracle). Differentiable
+    both ways (the Pallas path via the softmax-Jacobian custom VJP)."""
+    if variant == "jnp":
+        return _sparse_softmax_sell_jnp(a, scale=scale)
+    if variant != "pallas":
+        raise ValueError(
+            f"sell softmax variant must be 'jnp' or 'pallas', got {variant!r}")
     # indices travel as an ARGUMENT (not a closure): inside grad chains
     # they are tracers, and closing over a tracer in a custom_vjp leaks it
     # out of the transform. Integer inputs take float0 zero cotangents.
@@ -295,7 +306,8 @@ def sparse_softmax_sell(a: SellMatrix, *, scale: float | None = None) -> SellMat
     return a.with_values(f(a.values, a.indices))
 
 
-def sparse_softmax(a: CsrMatrix | EllMatrix | SellMatrix, *, scale: float | None = None):
+def sparse_softmax(a: CsrMatrix | EllMatrix | SellMatrix, *, scale: float | None = None,
+                   variant: str | None = None):
     """Row-wise softmax over the nonzero values (upstream ``SparseSoftmax``).
 
     Numerically stable: per-row max subtraction via segment_max. Rows with
@@ -305,6 +317,8 @@ def sparse_softmax(a: CsrMatrix | EllMatrix | SellMatrix, *, scale: float | None
     the same caveat).
     """
     if isinstance(a, SellMatrix):
+        if variant is not None:
+            return sparse_softmax_sell(a, scale=scale, variant=variant)
         return sparse_softmax_sell(a, scale=scale)
     if isinstance(a, EllMatrix):
         return sparse_softmax_ell(a, scale=scale)

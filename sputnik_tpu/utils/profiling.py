@@ -77,17 +77,23 @@ def trace_device_total(trace_dir: str, name_prefix: str = "jit_") -> Optional[fl
 def trace_device_events(
     trace_dir: str, name_prefix: str = "jit_"
 ) -> Optional[tuple]:
-    """(total_seconds, n_events) for device events named ``name_prefix``*.
+    """(total_seconds, n_events): device-busy time per ``name_prefix`` run.
 
-    The event COUNT matters: through the axon tunnel ``block_until_ready``
-    can return before the device has executed every queued run, so a trace
-    stopped "after" N runs may hold only n < N top-level events. Dividing
-    the total by the EXPECTED run count then undercounts per-op time by
-    N/n — the mechanism behind round 2's physically impossible
-    csr_spmm(mirror) 3.78x row and a 5x-over-spec dense-matmul
-    "calibration". Dividing by the OBSERVED count is robust to clipped
-    traces (each top-level jitted executable appears as exactly one device
-    event per run — verified on this stack).
+    Two hard-won rules live here:
+
+    * The event COUNT divides, and it must be the OBSERVED count of
+      ``name_prefix``* events: through the axon tunnel
+      ``block_until_ready`` can return before the device drains, so a
+      trace may hold fewer runs than issued — dividing by the expected
+      count undercounts (round 2's impossible csr_spmm(mirror) 3.78x).
+    * The TIME must be the interval UNION of ALL TPU events, not the
+      ``jit_``* events' durations alone: the profiler emits big XLA
+      fusions as SIBLING top-level events NEXT TO the ``jit_`` span, so
+      glue-heavy executables (e.g. the empty-row masking pass of
+      ultra-sparse DSD) lose most of their time when only ``jit_`` spans
+      are summed — the round-4 mechanism behind grid rows measuring up to
+      2.4x the physical HBM bound. The union also de-duplicates nested
+      child events without needing the trace's nesting structure.
     """
     files = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True)
     if not files:
@@ -98,15 +104,30 @@ def trace_device_events(
     for e in t.get("traceEvents", []):
         if e.get("ph") == "M" and e.get("name") == "process_name":
             pids[e["pid"]] = e["args"].get("name", "")
-    total = 0.0
     count = 0
+    spans = []
     for e in t.get("traceEvents", []):
         if e.get("ph") != "X" or "TPU" not in pids.get(e.get("pid"), ""):
             continue
+        ts, dur = e.get("ts"), e.get("dur", 0)
+        if ts is None:
+            continue
+        spans.append((float(ts), float(ts) + float(dur)))
         if e.get("name", "").startswith(name_prefix):
-            total += e.get("dur", 0) * 1e-6
             count += 1
-    return (total, count) if count else None
+    if not count:
+        return None
+    spans.sort()
+    total = 0.0
+    cur_end = -float("inf")
+    for start, end in spans:
+        if start >= cur_end:
+            total += end - start
+            cur_end = end
+        elif end > cur_end:
+            total += end - cur_end
+            cur_end = end
+    return (total * 1e-6, count)
 
 
 def device_time(

@@ -237,3 +237,16 @@ def test_sorted_rows_grads(rng):
     got_da = np.asarray(s.with_values(gs.values).to_dense(), np.float64)
     exp_da = (np.asarray(w, np.float64) @ np.asarray(b, np.float64).T) * (dense != 0)
     np.testing.assert_allclose(got_da, exp_da, atol=ATOL)
+
+
+def test_softmax_pallas_variant_matches_jnp(rng):
+    """The round-3 Pallas SELL softmax stays available as variant='pallas'
+    (round-4 measured it LOSING to the jnp chain — 16.8 vs 6.6 us — so
+    jnp is the default; this pins the kernel's correctness either way)."""
+    c = testing.random_csr(rng, 384, 384, 6000)
+    s = SellMatrix.from_csr(c)
+    out_j = csr_ops.sparse_softmax(s, scale=0.5)
+    out_p = csr_ops.sparse_softmax(s, scale=0.5, variant="pallas")
+    np.testing.assert_allclose(
+        np.asarray(out_p.values, np.float32),
+        np.asarray(out_j.values, np.float32), atol=1e-5)
