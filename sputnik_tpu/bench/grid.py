@@ -64,11 +64,11 @@ def run(d: int, densities, dtype_name="bfloat16", chain=8, runs=3,
             return None
 
     def add(op, ta, tb, density, fn, args, flops, bytes_moved, perturb,
-            vargs=None, vkwargs=None):
+            vargs=None, vkwargs=None, perturb_mode="row"):
         name = f"{op}_{_mode_name(ta, tb)}"
         try:
             m = device_time(fn, *args, chain=chain, runs=runs,
-                            perturb_index=perturb)
+                            perturb_index=perturb, perturb_mode=perturb_mode)
             t = m["time_s"]
             sol = sol_time(flops, bytes_moved, peak_flops=peak_flops,
                            hbm_bps=bw)
@@ -88,6 +88,18 @@ def run(d: int, densities, dtype_name="bfloat16", chain=8, runs=3,
             if t * 1e6 < 3.0:
                 row["frac_sol_unreliable"] = sol / t
                 row["note"] = "sub-3us: below the device-trace noise floor"
+            elif sol / t > 1.05:
+                # Hybrid pallas+XLA ops whose output cannot FEED the next
+                # chain step (shape mismatch): the scalar chain dependency
+                # lets XLA slice the masked epilogue, so the trace times
+                # the kernel WITHOUT the epilogue's full C write while the
+                # model charges it. Kernel-only time — a lower bound on
+                # the true cost, published as explicitly unreliable.
+                row["frac_sol_unreliable"] = sol / t
+                row["note"] = ("epilogue sliced by the chain's scalar "
+                               "dependency: kernel-only time, true cost "
+                               "is higher (see PERFORMANCE.md round-4 "
+                               "measurement notes)")
             else:
                 row["frac_sol"] = sol / t
             rows_out.append(row)
