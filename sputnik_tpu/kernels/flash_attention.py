@@ -375,61 +375,39 @@ def sdd_softmax_fused(
         interpret=interpret,
     )(rows, cols, flags, q, *([k] * group))
 
-    # Fused normalize epilogue (round 3): a second Pallas pass reads each
-    # padded score slot once and writes exp(s - m)/l STRAIGHT to the
-    # block's packed topology position — replacing the round-2 XLA
-    # epilogue whose jnp.take permutation + exp/normalize cost the scores
-    # two extra HBM crossings. Flag-0 padding slots (fully -inf scores,
-    # NOT copies of real blocks) are routed to a discard slot nnz and
-    # sliced off.
+    # Normalize epilogue in fused XLA (one exp/divide pass over the padded
+    # slots + one gather to packed positions). A round-3 Pallas epilogue
+    # existed and measured fine standalone, but composing the pass-1 +
+    # epilogue PAIR with ANY further ops in one executable reproducibly
+    # faults the device (round-4 isolation: each pass chains fine alone,
+    # the pair + the timing harness's perturbation ops does not — a
+    # Mosaic-level producer/consumer bug we cannot fix from here). The
+    # XLA epilogue costs the scores one extra HBM crossing and composes
+    # safely; the kernel-pair variant can return when the toolchain moves.
     nnz = topology.nnz_blocks
     n_items = n_steps * group
-    if not isinstance(flags, jax.core.Tracer):
-        fl = np.asarray(flags)
-        # Every slot gets a UNIQUE output block: real slots their packed
-        # position, padding slots distinct discard slots past nnz. Routing
-        # ALL pads to one shared slot made that block's writes revisit
-        # non-contiguously across the grid — outside Pallas' output
-        # contract — and faulted the device when the kernel appeared more
-        # than once in an executable (round-4 fault isolation).
-        pad_idx = np.nonzero(fl == 0)[0]
-        pos = np.empty((n_items,), np.int32)
-        pos[np.nonzero(fl)[0]] = np.arange(nnz, dtype=np.int32)
-        pos[pad_idx] = nnz + np.arange(len(pad_idx), dtype=np.int32)
-        pos = jnp.asarray(pos)
-        rows_items = jnp.asarray(np.repeat(np.asarray(rows), group))
-        n_out = n_items
-    else:
-        pos = jnp.arange(nnz, dtype=jnp.int32)  # group == 1, no padding
-        rows_items = rows
-        n_out = nnz + 1
+    # Branch-free slot bookkeeping: under jit even a CONCRETE topology's
+    # plan arrives as tracers (constants become DynamicJaxprTracer inside
+    # the trace), and the old tracer-keyed branch assumed group == 1 —
+    # its n_steps-long rows array was then indexed up to n_items by the
+    # round-3 Pallas epilogue's scalar prefetch: out-of-bounds reads that
+    # FAULTED the device whenever the traced composition ran (the round-4
+    # fault isolation's root cause). The stable-argsort trick keeps the
+    # real slots' packed order with a static output size.
+    rows_items = jnp.repeat(jnp.asarray(rows), group,
+                            total_repeat_length=n_items)
+    fl = jnp.asarray(flags)
+    keys = jnp.where(fl > 0, 0, n_items) + jnp.arange(n_items, dtype=jnp.int32)
+    real_src = jnp.argsort(keys)[:nnz]
 
-    def _norm_kernel(rows_i, pos_i, s_ref, m_ref, l_ref, out_ref):
-        del rows_i, pos_i
-        s = s_ref[0]
-        e = jnp.exp(s - m_ref[:, 0:1])
-        e = jnp.where(s > 0.5 * _NEG_INF, e, 0.0)
-        out_ref[0] = (e / jnp.maximum(l_ref[:, 0:1], 1e-30)).astype(
-            out_ref.dtype
-        )
-
-    probs_pad = pl.pallas_call(
-        _norm_kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(n_items,),
-            in_specs=[
-                pl.BlockSpec((1, bs, bs), lambda i, r_, p_: (i, 0, 0)),
-                pl.BlockSpec((bs, 128), lambda i, r_, p_: (r_[i], 0)),
-                pl.BlockSpec((bs, 128), lambda i, r_, p_: (r_[i], 0)),
-            ],
-            out_specs=pl.BlockSpec((1, bs, bs), lambda i, r_, p_: (p_[i], 0, 0)),
-        ),
-        out_shape=jax.ShapeDtypeStruct((n_out, bs, bs), out_dtype),
-        compiler_params=compiler_params(("arbitrary",)),
-        interpret=interpret,
-    )(rows_items, pos, scores_pad, m_stat, l_stat)
-    return topology.with_data(probs_pad[:nnz])
+    m3 = m_stat[:, 0].reshape(t // bs, bs)  # per block-row stats
+    l3 = l_stat[:, 0].reshape(t // bs, bs)
+    m_sel = m3[rows_items][:, :, None]  # (n_items, bs, 1)
+    l_sel = l3[rows_items][:, :, None]
+    e = jnp.exp(scores_pad - m_sel)
+    e = jnp.where(scores_pad > 0.5 * _NEG_INF, e, 0.0)
+    probs_pad = (e / jnp.maximum(l_sel, 1e-30)).astype(out_dtype)
+    return topology.with_data(jnp.take(probs_pad, real_src, axis=0))
 
 
 def _fold_kernel(
