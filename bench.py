@@ -8,14 +8,25 @@ value        = effective GFLOP/s (2 * nnz * N / t) at the headline config
                benchmark grid's d=4096 point, dsd_benchmark.cu:32-46).
 vs_baseline  = fraction of the roofline speed-of-light for this config on
                this chip (max of compute-bound and bandwidth-bound time,
-               v5e peak: 197 TFLOP/s bf16, 819 GB/s HBM). BASELINE.json's
-               target is >= 0.8.
+               v5e SPEC peak: 197 TFLOP/s bf16, 819 GB/s HBM).
+               BASELINE.json's target is >= 0.8. The line also reports
+               vs_machine_sol — the same fraction against the CALIBRATED
+               machine peak (docs/machine_peak.json, measured 0.92 of
+               spec): the spec denominator is unreachable by ANY program
+               on this chip (best dense XLA dot: 0.90 of spec,
+               docs/mxu_probe.json), so the machine fraction is the one
+               that says how close the kernel is to what the silicon
+               actually delivers. Both are published; vs_baseline keeps
+               the round-1 definition for comparability.
 
 Timing: the axon tunnel adds ~1 ms per dispatch, so wall timing of single
-ops is meaningless. The op is chained inside one jitted function (the
-reference's warmup+iterations protocol, dsd_benchmark.cu:82-107) and the
-per-op DEVICE time is read from a jax.profiler trace; wall/chain is the
-fallback when no trace is produced.
+ops is meaningless. Measurement goes through
+``utils.profiling.device_time`` — ops chained inside one jitted function
+with a row-perturbed operand (the reference's constant-operand
+warmup+iterations protocol, dsd_benchmark.cu:82-107; an output-feeding
+chain would serialize consecutive kernels on the full previous output,
+which the reference's back-to-back launches do not) and per-op DEVICE
+time read from a jax.profiler trace; wall-delta is the fallback.
 
 ``python bench.py --full`` also writes the reference-mirroring
 shape x sparsity grid (+ per-config roofline fractions) to

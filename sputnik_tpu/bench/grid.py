@@ -88,7 +88,12 @@ def run(d: int, densities, dtype_name="bfloat16", chain=8, runs=3,
             if t * 1e6 < 3.0:
                 row["frac_sol_unreliable"] = sol / t
                 row["note"] = "sub-3us: below the device-trace noise floor"
-            elif sol / t > 1.05:
+            elif sol / t > 1.05 and op in ("ssd", "sds", "dss"):
+                # Only the hybrid pallas+XLA sparse-output/sparse-sparse
+                # paths have a masked epilogue the chain's scalar
+                # dependency can slice; any other op measuring >1.05 is a
+                # genuine trace undercount and must keep frac_sol so the
+                # artifact CI invariant fires (round-4 advisor finding).
                 # Hybrid pallas+XLA ops whose output cannot FEED the next
                 # chain step (shape mismatch): the scalar chain dependency
                 # lets XLA slice the masked epilogue, so the trace times

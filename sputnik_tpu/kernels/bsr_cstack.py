@@ -143,9 +143,18 @@ def dsd_cstack(
         concrete=concrete,
     )
     m_blocks = m_dim // bs
+    if not cstack_fits(m_dim, 128):
+        # Mirror the registry's dispatch gate so a direct variant= call
+        # fails with a labeled error instead of a Mosaic VMEM crash.
+        raise ValueError(
+            f"dsd_cstack: whole-output fp32 accumulator for m={m_dim} "
+            f"exceeds the VMEM budget even at the minimum 128-lane tile "
+            f"({m_dim * 128 * 4} > {ACC_BUDGET} bytes)"
+        )
     nt = min(n_tile, n_dim)
     while nt > 128 and not cstack_fits(m_dim, nt):
-        nt //= 2
+        # Keep the tile a multiple of 128 lanes (Mosaic tiling requirement).
+        nt = max(128, (nt // 2) // 128 * 128)
     n_tiles = cdiv(n_dim, nt)
     total_steps = n_steps + m_blocks
     frows = jnp.concatenate([

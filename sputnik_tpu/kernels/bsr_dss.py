@@ -24,6 +24,7 @@ The reference's k <= 32768 limit (uint8 smem offsets, ``index_merge.h:
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -34,7 +35,56 @@ from jax.experimental.pallas import tpu as pltpu
 from sputnik_tpu.formats import BlockSparseMatrix
 from sputnik_tpu.kernels.common import compiler_params, dot_dims, use_interpret
 
-__all__ = ["dss", "dss_worklist", "worklist_budget", "build_dss_worklist"]
+__all__ = [
+    "dss", "dss_worklist", "worklist_budget", "build_dss_worklist",
+    "DssWorklist",
+]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class DssWorklist:
+    """A prebuilt DSS work list, tied to the topology pair it was built for.
+
+    The ``signature`` (static aux data: block size, block-grid dims, and the
+    transpose flags) lets :func:`dss_worklist` reject a cached work list
+    replayed against a different problem — a silent-wrong-results hazard
+    flagged by the round-4 advisor. Iterating yields the five arrays, so
+    existing 5-tuple unpacking keeps working.
+    """
+
+    out_sorted: jax.Array
+    a_ids: jax.Array
+    b_ids: jax.Array
+    flags: jax.Array
+    visited: jax.Array
+    signature: tuple = dataclasses.field(default=(), compare=False)
+
+    def tree_flatten(self):
+        return (
+            (self.out_sorted, self.a_ids, self.b_ids, self.flags,
+             self.visited),
+            self.signature,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, signature=aux)
+
+    def __iter__(self):
+        return iter(
+            (self.out_sorted, self.a_ids, self.b_ids, self.flags,
+             self.visited)
+        )
+
+
+def _dss_signature(a, b, transpose_a, transpose_b):
+    bs = a.block_size
+    return (
+        bs,
+        a.rows // bs, a.cols // bs, b.rows // bs, b.cols // bs,
+        bool(transpose_a), bool(transpose_b),
+    )
 
 
 def _dss_kernel(
@@ -272,8 +322,22 @@ def build_dss_worklist(
     item's block ids and output tile, so their index maps repeat and
     Mosaic elides the dead-step DMAs — a dead step costs only the fixed
     grid-step overhead, not two block fetches.
+
+    Returns a :class:`DssWorklist` carrying the (block size, block-grid
+    dims, transpose flags) signature; :func:`dss_worklist` asserts the
+    signature matches before trusting a caller-cached list.
     """
     bs = a.block_size
+    if b.block_size != bs:
+        raise ValueError(
+            f"block size mismatch: {bs} vs {b.block_size}"
+        )
+    k_dim = a.rows if transpose_a else a.cols
+    kb = b.cols if transpose_b else b.rows
+    if kb != k_dim:
+        raise ValueError(
+            f"contraction mismatch: A gives k={k_dim}, B gives {kb}"
+        )
     m_dim = a.cols if transpose_a else a.rows
     n_dim = b.rows if transpose_b else b.cols
     m_blocks = m_dim // bs
@@ -334,7 +398,10 @@ def build_dss_worklist(
         .at[jnp.where(valid, out_id, 0)]
         .add(valid.astype(jnp.int32))
     ) > 0
-    return out_sorted, a_ids, b_ids, flags, visited
+    return DssWorklist(
+        out_sorted, a_ids, b_ids, flags, visited,
+        signature=_dss_signature(a, b, transpose_a, transpose_b),
+    )
 
 
 def dss_worklist(
@@ -391,6 +458,15 @@ def dss_worklist(
             a, b, transpose_a=transpose_a, transpose_b=transpose_b,
             work_budget=work_budget,
         )
+    if isinstance(worklist, DssWorklist) and worklist.signature:
+        want = _dss_signature(a, b, transpose_a, transpose_b)
+        if worklist.signature != want:
+            raise ValueError(
+                "dss_worklist: cached work list was built for a different "
+                f"problem (signature {worklist.signature}, this call is "
+                f"{want}) — rebuild with build_dss_worklist for this "
+                "(a, b, transpose) combination"
+            )
     out_sorted, a_ids, b_ids, flags, visited = worklist
     W = int(out_sorted.shape[0])
 

@@ -82,20 +82,24 @@ def _kernel(
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    # Build the (bs, group*bs) score STRIP: one MXU dot per block, then a
-    # SINGLE online-softmax update for the whole strip — the exp/rescale
-    # VPU work (which dominates: the dots are ~40 ns, the softmax ~500 ns
-    # per block) amortizes over the group. Measured 2.4x vs per-block.
+    # Build the (bs, group*bs) score STRIP with ONE MXU dot against the
+    # concatenated K blocks (round-4 shape law: bn = group*bs amortizes
+    # the array's weight-load where `group` narrow (bs, dh, bs) dots each
+    # pay it), then a SINGLE online-softmax update for the whole strip —
+    # the exp/rescale VPU work (~500 ns per block vs ~40 ns of MXU)
+    # amortizes over the group. Measured 2.4x vs per-block.
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 0)
     c_iota = jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 1)
-    strip = []
+    k_strip = (
+        jnp.concatenate([k_refs[g][:] for g in range(group)], axis=0)
+        if group > 1 else k_refs[0][:]
+    )  # (group*bs, dh)
+    s_all = jax.lax.dot_general(
+        q_ref[:], k_strip, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (bs, group*bs), f32 accumulate, native-dtype MXU inputs
+    keeps = []
     for g in range(group):
-        s = jax.lax.dot_general(
-            q_ref[:],
-            k_refs[g][:],
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale  # (bs, bs), f32 accumulate, native-dtype MXU inputs
         valid = flags[j * group + g] > 0
         if causal:
             on_diag = rows[j] == cols[j * group + g]
@@ -111,8 +115,9 @@ def _kernel(
             # Padding sub-items mask their whole block to -inf: rowmax
             # stays m_prev, corr = 1, p = 0 — the state is untouched.
             keep = jnp.logical_and(jnp.ones((bs, bs), bool), valid)
-        strip.append(jnp.where(keep, s, _NEG_INF))
-    s_strip = jnp.concatenate(strip, axis=1) if group > 1 else strip[0]
+        keeps.append(keep)
+    keep_strip = jnp.concatenate(keeps, axis=1) if group > 1 else keeps[0]
+    s_strip = jnp.where(keep_strip, s_all, _NEG_INF)
 
     m_prev = m_ref[:, 0:1]  # (bs, 1)
     m_new = jnp.maximum(m_prev, jnp.max(s_strip, axis=1, keepdims=True))

@@ -49,19 +49,30 @@ __all__ = ["flash_mha", "plan_pairs"]
 _GROUP = 4
 
 
-def plan_pairs(topology: BlockSparseMatrix, group: int = _GROUP):
-    """Pair-row work plan: for each row pair, the UNION of both rows'
-    topology columns, with per-row membership flag planes (concrete
-    metadata only)."""
+def plan_pairs(topology: BlockSparseMatrix, group: int = _GROUP,
+               rows_per_step: int = 2):
+    """Row-group work plan: for each run of ``rows_per_step`` adjacent query
+    block-rows, the UNION of the rows' topology columns, with per-row
+    membership carried as a BITMASK per item (bit r = row ``step*R + r``
+    holds this column). Concrete metadata only.
+
+    ``rows_per_step`` is the round-4 MXU-shape-law lever: the score dot
+    streams ``R*bs`` query rows per MXU fill, so R=4 issues (512, dh, ...)
+    dots where R=2 issued (256, dh, ...) ones (``docs/mxu_probe.json``:
+    bm >= 512 is where >= 0.8-of-peak dot shapes live)."""
+    R = rows_per_step
     ri = np.asarray(topology.row_indices, np.int64)
     ci = np.asarray(topology.indices, np.int64)
     nb = topology.cols // topology.block_size
-    keys = (ri // 2) * nb + ci
+    keys = (ri // R) * nb + ci
     uniq = np.unique(keys)
     pairs_u = (uniq // nb).astype(np.int32)
     cols_u = (uniq % nb).astype(np.int32)
-    fa = np.isin(uniq, np.unique(keys[ri % 2 == 0])).astype(np.int32)
-    fb = np.isin(uniq, np.unique(keys[ri % 2 == 1])).astype(np.int32)
+    fbits = np.zeros(len(uniq), np.int32)
+    for r in range(R):
+        fbits |= np.isin(uniq, np.unique(keys[ri % R == r])).astype(
+            np.int32
+        ) << r
     # Pure-numpy batching (same shape as bsr_flat._batch_items, whose jnp
     # outputs become TRACERS when the plan runs at trace time inside jit —
     # np.asarray on them then throws even for concrete topologies).
@@ -78,21 +89,20 @@ def plan_pairs(topology: BlockSparseMatrix, group: int = _GROUP):
     item = np.repeat(cum_items, padded) + orig_local
     flags = (local < np.repeat(counts, padded)).astype(np.int32)
     step_out = np.repeat(uniq_p, padded // group).astype(np.int32)
-    # Group padding duplicates the run's last item with flag 0; fold the
-    # pad flag into both membership planes so padded items mask fully.
+    # Group padding duplicates the run's last item with bitmask 0, so
+    # padded items mask fully.
     return (
         jnp.asarray(step_out),
         jnp.asarray(cols_u[item].astype(np.int32)),
-        jnp.asarray(fa[item] * flags),
-        jnp.asarray(fb[item] * flags),
+        jnp.asarray(fbits[item] * flags),
         group,
         len(step_out),
     )
 
 
 def _fwd_kernel(
-    pairs, cols, fa, fb, *refs,
-    group: int, n_steps: int, bs: int, scale: float, causal: bool,
+    steps, cols, fbits, *refs,
+    group: int, n_steps: int, bs: int, R: int, scale: float, causal: bool,
     with_lse: bool,
 ):
     q_ref = refs[0]
@@ -102,9 +112,9 @@ def _fwd_kernel(
     lse_ref = refs[2 + 2 * group] if with_lse else None
     acc_ref, m_ref, l_ref = refs[(3 if with_lse else 2) + 2 * group :]
     j = pl.program_id(1)
-    cur = pairs[j]
-    prev = pairs[jnp.maximum(j - 1, 0)]
-    nxt = pairs[jnp.minimum(j + 1, n_steps - 1)]
+    cur = steps[j]
+    prev = steps[jnp.maximum(j - 1, 0)]
+    nxt = steps[jnp.minimum(j + 1, n_steps - 1)]
     is_first = jnp.logical_or(j == 0, prev != cur)
     is_last = jnp.logical_or(j == n_steps - 1, nxt != cur)
 
@@ -114,26 +124,30 @@ def _fwd_kernel(
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    r_iota = jax.lax.broadcasted_iota(jnp.int32, (2 * bs, bs), 0)
-    c_iota = jax.lax.broadcasted_iota(jnp.int32, (2 * bs, bs), 1)
-    in_lower = r_iota >= bs  # lower half = second row of the pair
-    row_vec = cur * 2 + in_lower.astype(jnp.int32)  # block-row id per lane
-    r_local = r_iota - in_lower.astype(jnp.int32) * bs
-    strip = []
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (R * bs, bs), 0)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (R * bs, bs), 1)
+    sub = r_iota // bs  # which of the R rows this lane belongs to
+    row_vec = cur * R + sub  # block-row id per lane
+    r_local = r_iota - sub * bs
+    # ONE score dot for the whole strip: (R*bs, dh) @ (dh, group*bs).
+    # The round-4 MXU shape law (docs/mxu_probe.json): one wide dot beats
+    # `group` narrow (R*bs, dh, bs) dots — the array streams R*bs rows per
+    # fill either way, but bn = group*bs amortizes the weight-load better.
+    k_strip = (
+        jnp.concatenate([k_refs[g][0] for g in range(group)], axis=0)
+        if group > 1 else k_refs[0][0]
+    )  # (group*bs, dh)
+    s_all = jax.lax.dot_general(
+        q_ref[0], k_strip, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (R*bs, group*bs)
+    keeps = []
     for g in range(group):
-        s = jax.lax.dot_general(
-            q_ref[0],
-            k_refs[g][0],
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale  # (2bs, bs)
         c = cols[j * group + g]
-        va = fa[j * group + g] > 0
-        vb = fb[j * group + g] > 0
-        valid = jnp.logical_or(
-            jnp.logical_and(jnp.logical_not(in_lower), va),
-            jnp.logical_and(in_lower, vb),
-        )
+        # Bit r of the item's mask says row cur*R + r holds this column.
+        valid = jnp.bitwise_and(
+            jnp.right_shift(fbits[j * group + g], sub), 1
+        ) > 0
         if causal:
             keep = jnp.logical_or(
                 row_vec > c,
@@ -142,8 +156,9 @@ def _fwd_kernel(
             keep = jnp.logical_and(keep, valid)
         else:
             keep = valid
-        strip.append(jnp.where(keep, s, _NEG_INF))
-    s_strip = jnp.concatenate(strip, axis=1) if group > 1 else strip[0]
+        keeps.append(keep)
+    keep_strip = jnp.concatenate(keeps, axis=1) if group > 1 else keeps[0]
+    s_strip = jnp.where(keep_strip, s_all, _NEG_INF)
 
     m_prev = m_ref[:, 0:1]
     m_new = jnp.maximum(m_prev, jnp.max(s_strip, axis=1, keepdims=True))
@@ -190,44 +205,48 @@ def _zero_empty_rows_mha(out, topology: BlockSparseMatrix):
     return jnp.where(mask[None, :, None], out, jnp.zeros([], out.dtype))
 
 
-def _forward(q, k, v, topology, scale, causal, interpret, with_lse=False):
+def _forward(q, k, v, topology, scale, causal, interpret, with_lse=False,
+             group: int = _GROUP, rows_per_step: int = 2):
     h, t, dh = q.shape
     bs = topology.block_size
-    pairs, cols, fa, fb, group, n_steps = plan_pairs(topology)
+    R = rows_per_step
+    steps, cols, fbits, group, n_steps = plan_pairs(
+        topology, group=group, rows_per_step=R
+    )
 
     def kv_map(g):
-        return lambda hh, j, p_, c_, a_, b_: (hh, c_[j * group + g], 0)
+        return lambda hh, j, p_, c_, f_: (hh, c_[j * group + g], 0)
 
-    pair_map = lambda hh, j, p_, c_, a_, b_: (hh, p_[j], 0)
-    in_specs = [pl.BlockSpec((1, 2 * bs, dh), pair_map)]
+    step_map = lambda hh, j, p_, c_, f_: (hh, p_[j], 0)
+    in_specs = [pl.BlockSpec((1, R * bs, dh), step_map)]
     in_specs += [pl.BlockSpec((1, bs, dh), kv_map(g)) for g in range(group)]
     in_specs += [pl.BlockSpec((1, bs, dh), kv_map(g)) for g in range(group)]
-    out_specs = pl.BlockSpec((1, 2 * bs, dh), pair_map)
+    out_specs = pl.BlockSpec((1, R * bs, dh), step_map)
     out_shape = jax.ShapeDtypeStruct((h, t, dh), q.dtype)
     if with_lse:
-        out_specs = (out_specs, pl.BlockSpec((1, 2 * bs, 128), pair_map))
+        out_specs = (out_specs, pl.BlockSpec((1, R * bs, 128), step_map))
         out_shape = (out_shape, jax.ShapeDtypeStruct((h, t, 128), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(h, n_steps),
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((2 * bs, dh), jnp.float32),
-            pltpu.VMEM((2 * bs, 128), jnp.float32),
-            pltpu.VMEM((2 * bs, 128), jnp.float32),
+            pltpu.VMEM((R * bs, dh), jnp.float32),
+            pltpu.VMEM((R * bs, 128), jnp.float32),
+            pltpu.VMEM((R * bs, 128), jnp.float32),
         ],
     )
     out = pl.pallas_call(
         functools.partial(
-            _fwd_kernel, group=group, n_steps=n_steps, bs=bs, scale=scale,
-            causal=causal, with_lse=with_lse,
+            _fwd_kernel, group=group, n_steps=n_steps, bs=bs, R=R,
+            scale=scale, causal=causal, with_lse=with_lse,
         ),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=compiler_params(("parallel", "arbitrary")),
         interpret=interpret,
-    )(pairs, cols, fa, fb, q, *([k] * group), *([v] * group))
+    )(steps, cols, fbits, q, *([k] * group), *([v] * group))
     if with_lse:
         return _zero_empty_rows_mha(out[0], topology), out[1]
     return _zero_empty_rows_mha(out, topology)
@@ -462,31 +481,46 @@ def flash_mha(
     *,
     causal: bool = False,
     scale: Optional[float] = None,
+    group: int = _GROUP,
+    rows_per_step: int = 2,
 ) -> jax.Array:
     """Fused multi-head block-sparse attention, head axis in the grid.
 
-    Requires concrete topology metadata (host pair plan) and an even
-    number of query block rows; ``models.attention.
+    Requires concrete topology metadata (host pair plan) and a number of
+    query block rows divisible by ``rows_per_step``; ``models.attention.
     multihead_block_sparse_attention`` falls back to the vmapped
     single-head kernel otherwise. Semantics match the single-head
     ``flash_block_attention`` per head.
+
+    ``rows_per_step`` / ``group``: the forward strip shape — each grid step
+    owns ``rows_per_step`` query block-rows and streams ``group`` union
+    columns, issuing one (rows_per_step*bs, dh, group*bs) score dot
+    (``bench.flash_sweep`` measures the grid of both).
     """
     if scale is None:
         scale = 1.0 / float(np.sqrt(q.shape[-1]))
     scale = float(scale)
     causal = bool(causal)
+    R = int(rows_per_step)
+    if R < 1 or R > 8:
+        raise ValueError(f"rows_per_step must be in 1..8, got {R}")
     if topology.nnz_blocks == 0:
         return jnp.zeros_like(q)
-    if (topology.rows // topology.block_size) % 2:
-        raise ValueError("flash_mha needs an even number of query block rows")
+    if (topology.rows // topology.block_size) % R:
+        raise ValueError(
+            f"flash_mha needs query block rows divisible by "
+            f"rows_per_step={R}"
+        )
 
     @jax.custom_vjp
     def _flash(q_, k_, v_):
-        return _forward(q_, k_, v_, topology, scale, causal, use_interpret())
+        return _forward(q_, k_, v_, topology, scale, causal, use_interpret(),
+                        group=group, rows_per_step=R)
 
     def _fwd(q_, k_, v_):
         out, lse = _forward(
-            q_, k_, v_, topology, scale, causal, use_interpret(), with_lse=True
+            q_, k_, v_, topology, scale, causal, use_interpret(),
+            with_lse=True, group=group, rows_per_step=R,
         )
         return out, (q_, k_, v_, out, lse)
 

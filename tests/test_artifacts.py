@@ -28,6 +28,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ARTIFACTS = sorted(
     glob.glob(os.path.join(REPO, "*.json"))
     + glob.glob(os.path.join(REPO, "docs", "*.json"))
+    # In-progress sweeps commit checkpoints as <name>.json.partial_* —
+    # published is published; the invariant covers them too (round-4
+    # advisor finding).
+    + glob.glob(os.path.join(REPO, "*.json.partial_*"))
+    + glob.glob(os.path.join(REPO, "docs", "*.json.partial_*"))
 )
 
 # Fields that claim a fraction of a true physical upper bound.

@@ -167,6 +167,30 @@ def test_dss_worklist(rng, m, k, n, density, unordered, ta, tb):
     _check(out, expected)
 
 
+def test_dss_worklist_signature_guard(rng):
+    """A cached work list replayed against a different problem raises
+    instead of silently producing wrong results (round-4 advisor)."""
+    from sputnik_tpu.kernels import bsr_dss
+
+    a = _mk_sparse(rng, 512, 512, 0.2, False)
+    b = _mk_sparse(rng, 512, 512, 0.2, False)
+    wl = bsr_dss.build_dss_worklist(a, b)
+    # Same topologies, same flags: accepted.
+    out = bsr_dss.dss_worklist(a, b, worklist=wl)
+    expected = testing.dense_oracle_matmul(
+        np.asarray(a.to_dense()), np.asarray(b.to_dense())
+    )
+    _check(out, expected)
+    # Different transpose flags: rejected with a labeled error.
+    with pytest.raises(ValueError, match="different problem"):
+        bsr_dss.dss_worklist(a, b, transpose_a=True, transpose_b=True,
+                             worklist=wl)
+    # build-side validation mirrors the kernel's.
+    c = _mk_sparse(rng, 256, 512, 0.2, False)
+    with pytest.raises(ValueError, match="contraction mismatch"):
+        bsr_dss.build_dss_worklist(a, c)
+
+
 def test_dss_worklist_traced_dispatch(rng):
     """Under jit (traced metadata) the registry reaches an exact path and
     the result still matches; an empty intersection yields exact zeros."""
@@ -790,6 +814,16 @@ def test_cstack_variant(rng, tb, q):
     with pytest.raises(ValueError):
         ops.matmul_dsd(a, b.T, transpose_a=True, transpose_b=not tb,
                        variant="pallas_cstack")
+    # A direct call whose fp32 accumulator cannot fit VMEM even at the
+    # minimum 128-lane tile raises a labeled error (round-4 advisor) —
+    # exercised via a tiny budget monkeypatch rather than a giant m.
+    from sputnik_tpu.kernels import bsr_cstack
+    import unittest.mock as mock
+
+    with mock.patch.object(bsr_cstack, "cstack_fits",
+                           lambda m_, nt: False):
+        with pytest.raises(ValueError, match="VMEM budget"):
+            bsr_cstack.dsd_cstack(a, b, transpose_b=tb)
 
 
 @pytest.mark.parametrize("tb", [False, True])

@@ -283,6 +283,49 @@ def test_flash_mha_matches_unfused(rng, causal):
         )
 
 
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("rows_per_step", [1, 4])
+def test_flash_mha_rows_per_step(rng, causal, rows_per_step):
+    """The quad/single-row strip variants (round-5 MXU-shape lever) match
+    the unfused chain, forward and grads."""
+    from sputnik_tpu.kernels.flash_mha import flash_mha
+
+    h, t, dh = 2, 512, 128
+    if causal:
+        topo = attn.causal_block_topology(t, 128, window_blocks=2,
+                                          dtype=jnp.float32)
+    else:
+        topo = testing.random_bsr(rng, t, t, t * t // 3, 128, unordered=True)
+    q = jnp.asarray(rng.standard_normal((h, t, dh)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((h, t, dh)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((h, t, dh)).astype(np.float32))
+    out = flash_mha(q, k, v, topo, causal=causal,
+                    rows_per_step=rows_per_step)
+    ref = attn.multihead_block_sparse_attention(q, k, v, topo, causal=causal)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=5e-3
+    )
+
+    def loss_f(q_):
+        return jnp.sum(
+            flash_mha(q_, k, v, topo, causal=causal,
+                      rows_per_step=rows_per_step) ** 2
+        )
+
+    def loss_r(q_):
+        return jnp.sum(
+            attn.multihead_block_sparse_attention(
+                q_, k, v, topo, causal=causal) ** 2
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(loss_f)(q), np.float32),
+        np.asarray(jax.grad(loss_r)(q), np.float32), atol=5e-2,
+    )
+    with pytest.raises(ValueError):
+        flash_mha(q, k, v, topo, rows_per_step=3)  # 4 rows % 3 != 0
+
+
 def test_flash_mha_empty_row_pair(rng):
     """A pair whose rows have no topology blocks stays zero."""
     from sputnik_tpu.formats import BlockSparseMatrix

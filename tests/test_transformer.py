@@ -220,8 +220,11 @@ def test_lm_batched_training_via_vmap(rng):
 
 
 def test_lm_generate_batched_matches_single(rng):
-    """Batched scan-fused decode == per-sequence lm_generate, greedy AND
-    sampled (same per-step keys drive both paths)."""
+    """Batched scan-fused decode == per-sequence lm_generate: greedy at any
+    batch, sampled at batch 1 (the batched path draws ONE categorical field
+    per step across the whole batch, so per-sequence sampled parity holds
+    only when the batch IS one sequence — the (1, vocab) Gumbel field then
+    equals the single path's (vocab,) draw under the same key)."""
     cfg = models.TransformerConfig(
         d_model=128, n_heads=2, seq_len=256, window_blocks=2, n_experts=2,
         d_ff=128, n_layers=2, vocab=64, dtype=jnp.float32,
@@ -238,6 +241,15 @@ def test_lm_generate_batched_matches_single(rng):
         params, prompts, cfg, 4, mode="topk", k_pages=1
     )
     assert out_t.shape == (3, 4)
+    # Sampled parity at batch 1 (see docstring for why B=1 only).
+    k = jax.random.PRNGKey(11)
+    s_b = models.lm_generate_batched(
+        params, prompts[:1], cfg, 5, temperature=0.8, key=k
+    )
+    s_1 = models.lm_generate(
+        params, prompts[0], cfg, 5, temperature=0.8, key=k
+    )
+    np.testing.assert_array_equal(np.asarray(s_b[0]), np.asarray(s_1))
     # Validation mirrors lm_generate's.
     import pytest as _pytest
 
