@@ -34,14 +34,9 @@ bench_results.json. Stdout stays one line; progress goes to stderr.
 """
 
 import argparse
-import collections
-import glob
-import gzip
 import json
 import os
 import sys
-import tempfile
-import time
 
 import numpy as np
 
@@ -51,69 +46,78 @@ PEAK_HBM_BPS = 819e9
 CHAIN = 8
 
 
-def _device_time_from_trace(trace_dir: str, n_runs: int):
-    """Per-op device seconds from the trace.
+# Serious contenders at square large-d configs (the full registry is
+# autotune-timeable too, but bench.py bounds its tuning pass to the
+# variants that have ever won a published shootout row so a cold cache
+# costs a few compiles, not fifteen).
+TUNE_SHORTLIST = ("pallas_stream", "pallas_qstream", "pallas_qstream_q2",
+                  "pallas_gres")
 
-    Divides by the OBSERVED top-level event count, not the expected run
-    count: through the axon tunnel ``block_until_ready`` can return before
-    the device drains its queue, so a trace may hold fewer events than
-    runs — dividing by ``n_runs`` then silently undercounts (the round-2
-    "impossible frac_sol" mechanism, utils/profiling.trace_device_events).
-    """
-    del n_runs
-    from sputnik_tpu.utils.profiling import trace_device_events
 
-    r = trace_device_events(trace_dir, "jit_chain")
-    if r is None:
+def _tune_dsd(a, b):
+    """Best shortlist variant for this problem under the SAME protocol the
+    measurement uses (device_time's row-perturbed chain — the autotuner's
+    own discipline), persisted to the autotune cache so plain dispatch
+    picks it up. Returns the winner's name (cached: no measuring)."""
+    # NB: ``ops.autotune`` the attribute is the FUNCTION (ops/__init__
+    # re-export shadows the submodule); import from the module path.
+    from sputnik_tpu.ops.autotune import autotune, cached_variant
+    from sputnik_tpu.ops import registry
+    from sputnik_tpu.utils.profiling import device_time
+
+    hit = cached_variant("dsd", (a, b), {})
+    if hit is not None:
+        return hit
+    timings = {}
+    for name in TUNE_SHORTLIST:
+        v = next((v for v in registry.variants_for("dsd") if v.name == name),
+                 None)
+        if v is None or not v.can_implement(a, b):
+            continue
+
+        def run(data, b_, _launch=v.launch):
+            return _launch(a.with_data(data), b_)
+
+        try:
+            m = device_time(run, a.data, b, chain=CHAIN, runs=3,
+                            perturb_index=1)
+        except Exception as e:  # a broken variant must not kill the bench
+            print(f"(tune: {name} failed: {str(e)[:80]})", file=sys.stderr)
+            continue
+        timings[name] = m["time_s"]
+        print(f"(tune: {name} {m['time_s']*1e6:.1f} us/op)", file=sys.stderr)
+    if not timings:
         return None
-    total, count = r
-    return total / (count * CHAIN)  # seconds per op
+    return autotune("dsd", a, b, timings=timings)
 
 
-def _bench_dsd(d: int, density: float, dtype_name: str = "bfloat16"):
-    import jax
+def _bench_dsd(d: int, density: float, dtype_name: str = "bfloat16",
+               tune: bool = True):
     import jax.numpy as jnp
     import sputnik_tpu
     from sputnik_tpu.utils import testing
+    from sputnik_tpu.utils.profiling import device_time
 
     dtype = jnp.dtype(dtype_name)
     rng = np.random.default_rng(42)
     a = testing.random_bsr(rng, d, d, int(d * d * density), 128, dtype=dtype)
     b = jnp.asarray(rng.standard_normal((d, d)).astype(np.float32)).astype(dtype)
 
-    @jax.jit
-    def chain(a_, b_):
-        x = b_
-        for _ in range(CHAIN):
-            x = sputnik_tpu.matmul_dsd(a_, x)
-        return x
+    variant = _tune_dsd(a, b) if tune else None
+    if variant:
+        print(f"(dispatch: {variant})", file=sys.stderr)
 
-    jax.block_until_ready(chain(a, b))  # compile + warmup
-    n_runs = 5
-    t0 = time.perf_counter()
-    for _ in range(n_runs):
-        out = chain(a, b)
-    jax.block_until_ready(out)
-    wall = (time.perf_counter() - t0) / (n_runs * CHAIN)
+    # The declared protocol (module docstring): the reference's
+    # constant-operand back-to-back launches, realized as a jitted chain
+    # whose perturbed dense operand defeats CSE (device_time's "row"
+    # mode — Pallas calls are opaque to the simplifier, so slicing cannot
+    # hollow the chain). Device seconds come from the jax.profiler trace
+    # interval union; wall-delta is the fallback off-TPU.
+    def run(data, b_):
+        return sputnik_tpu.matmul_dsd(a.with_data(data), b_)
 
-    trace_dir = tempfile.mkdtemp(prefix="sputnik_bench_")
-    try:
-        jax.profiler.start_trace(trace_dir)
-        for _ in range(n_runs):
-            out = chain(a, b)
-        jax.block_until_ready(out)
-        # Settle before stopping: block_until_ready can return early through
-        # the axon tunnel, clipping device events off the trace.
-        time.sleep(min(2.0, max(0.3, 2.0 * wall * n_runs * CHAIN)))
-        jax.profiler.stop_trace()
-        traced = True
-    except Exception:
-        traced = False
-
-    dt = _device_time_from_trace(trace_dir, n_runs) if traced else None
-    timing = "device_trace"
-    if dt is None:
-        dt, timing = wall, "wall"
+    m = device_time(run, a.data, b, chain=CHAIN, runs=5, perturb_index=1)
+    dt, timing, wall = m["time_s"], m["timing"], m.get("wall_s", m["time_s"])
 
     from sputnik_tpu.bench.models import dsd_model
 
@@ -137,14 +141,31 @@ def _bench_dsd(d: int, density: float, dtype_name: str = "bfloat16"):
     }
 
 
+def _machine_sol_frac(frac_spec_sol: float) -> float | None:
+    """The same fraction against the CALIBRATED machine peaks
+    (docs/machine_peak.json). The headline config is compute-bound, so
+    the conversion is the measured MXU efficiency; absent calibration
+    data, the field is omitted rather than guessed."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "docs", "machine_peak.json")
+    try:
+        with open(path) as f:
+            peak = json.load(f)
+        return frac_spec_sol / float(peak["mxu_efficiency"])
+    except Exception:
+        return None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true", help="also run the grid")
     ap.add_argument("--d", type=int, default=4096)
     ap.add_argument("--density", type=float, default=0.25)
+    ap.add_argument("--no-tune", action="store_true",
+                    help="skip the dispatch-tuning pass (first-fit only)")
     args = ap.parse_args()
 
-    r = _bench_dsd(args.d, args.density)
+    r = _bench_dsd(args.d, args.density, tune=not args.no_tune)
     print(
         f"headline: {r['gflops']:.0f} GFLOP/s eff ({r['timing']}), "
         f"{r['frac_sol']:.2f} of roofline SoL; wall/chain {r['wall_s']*1e6:.0f} us/op",
@@ -156,13 +177,16 @@ def main():
         "unit": "GFLOP/s",
         "vs_baseline": round(min(r["frac_sol"], 1.5), 4),
     }
+    machine = _machine_sol_frac(r["frac_sol"])
+    if machine is not None:
+        line["vs_machine_sol"] = round(min(machine, 1.5), 4)
 
     if args.full:
         grid = []
         for d in (1024, 2048, 4096, 8192):
             for density in (1.0, 0.5, 0.25, 0.1):
                 try:
-                    g = _bench_dsd(d, density)
+                    g = _bench_dsd(d, density, tune=not args.no_tune)
                     g.update(d=d, density=density)
                     grid.append(g)
                     print(
