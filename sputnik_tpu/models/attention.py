@@ -323,11 +323,13 @@ def multihead_block_sparse_attention(
     """(H, T, dh) multi-head attention.
 
     ``fused=True`` dispatches to the round-3 multi-head kernel
-    (``kernels/flash_mha.py``): head axis in the grid and TWO query
-    row-blocks per step sharing the union of their topology columns —
-    K/V bytes per score nearly halve on banded/causal patterns. Falls
-    back to the vmapped single-head kernel when the pair plan doesn't
-    apply (odd block-row count or traced metadata)."""
+    (``kernels/flash_mha.py``): head axis in the grid and a strip of
+    query row-blocks per step sharing the union of their topology
+    columns — K/V bytes per score shrink on banded/causal patterns, and
+    the strip dot shape rides the MXU shape law (rows_per_step auto-picks
+    4/2/1 by divisibility; (4, 8) won the round-5 sweep). Falls back to
+    the vmapped single-head kernel when the pair plan doesn't apply
+    (traced metadata)."""
     if fused:
         from sputnik_tpu.kernels.flash_mha import flash_mha
 
@@ -335,7 +337,7 @@ def multihead_block_sparse_attention(
             isinstance(topology.row_indices, jax.core.Tracer)
             or isinstance(topology.indices, jax.core.Tracer)
         )
-        if concrete and (topology.rows // topology.block_size) % 2 == 0:
+        if concrete:
             return flash_mha(q, k, v, topology, causal=causal, scale=scale)
     fn = functools.partial(
         block_sparse_attention, topology=topology, causal=causal, scale=scale,

@@ -191,6 +191,27 @@ def test_dss_worklist_signature_guard(rng):
         bsr_dss.build_dss_worklist(a, c)
 
 
+def test_dss_worklist_eager_trim(rng):
+    """An EAGERLY built work list is trimmed to the exact intersection
+    size (the static-hint budget's slack sliced off — round 5), and the
+    trimmed list still reproduces the oracle."""
+    from sputnik_tpu.kernels import bsr_dss
+
+    a = _mk_sparse(rng, 512, 512, 0.25, False)
+    b = _mk_sparse(rng, 512, 512, 0.25, False)
+    wl = bsr_dss.build_dss_worklist(a, b)
+    budget = bsr_dss.worklist_budget(a, b)
+    n = int(wl.out_sorted.shape[0])
+    assert n <= budget
+    # Every kept item is real (the argsort put flag-1 items first).
+    assert int(np.asarray(wl.flags).sum()) == n or n == 1
+    out = bsr_dss.dss_worklist(a, b, worklist=wl)
+    expected = testing.dense_oracle_matmul(
+        np.asarray(a.to_dense()), np.asarray(b.to_dense())
+    )
+    _check(out, expected)
+
+
 def test_dss_worklist_traced_dispatch(rng):
     """Under jit (traced metadata) the registry reaches an exact path and
     the result still matches; an empty intersection yields exact zeros."""
