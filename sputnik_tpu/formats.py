@@ -685,7 +685,8 @@ _AUTO_CHUNK_CROSSOVER = 9.0
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["values", "indices", "tile_widths", "row_perm"],
+    data_fields=["values", "indices", "tile_widths", "row_perm",
+                 "slot_counts"],
     meta_fields=["shape", "chunk", "pad_rows"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -724,6 +725,13 @@ class SellMatrix:
     # row row_perm[r]. Kernels produce storage-ordered outputs; the op
     # layer unpermutes (spmm) / permutes inputs (sddmm) exactly once.
     row_perm: Optional[Array] = None  # (rows_padded,) int32
+    # Per-(chunk, storage-row) valid-slot count: slots 0..count-1 of a
+    # (chunk, row) group are real (construction keeps CSR order, so valid
+    # slots are a PREFIX of the width axis). Value-only kernels (row
+    # softmax) derive their mask from this instead of streaming the full
+    # int32 ``indices`` rectangle — one slot pass of traffic saved
+    # (round 5; the reconstruct kernels still need ``indices``).
+    slot_counts: Optional[Array] = None  # (n_chunks, rows_padded) int32
 
     @property
     def rows(self) -> int:
@@ -847,6 +855,7 @@ class SellMatrix:
             pad_rows=rows_p - rows,
             tile_widths=jnp.asarray(tw),
             row_perm=None if row_perm is None else jnp.asarray(row_perm),
+            slot_counts=jnp.asarray(counts),
         )
 
     def to_dense(self) -> Array:

@@ -541,11 +541,9 @@ def sddmm(
 # ---------------------------------------------------------------------------
 
 
-def _softmax_kernel(v_ref, i_ref, o_ref, *, sentinel: int, scale):
-    v = v_ref[:].astype(jnp.float32)
+def _softmax_body(v, valid, o_ref, scale):
     if scale is not None:
         v = v * scale
-    valid = i_ref[:] != sentinel
     nc, w, lanes = v.shape
     v2 = jnp.where(valid, v, _NEG).reshape(nc * w, lanes)
     m = jnp.max(v2, axis=0, keepdims=True)
@@ -554,6 +552,22 @@ def _softmax_kernel(v_ref, i_ref, o_ref, *, sentinel: int, scale):
     e = jnp.where(v2 > 0.5 * _NEG, e, 0.0)
     s = jnp.maximum(jnp.sum(e, axis=0, keepdims=True), 1e-30)
     o_ref[:] = (e / s).reshape(nc, w, lanes).astype(o_ref.dtype)
+
+
+def _softmax_kernel(v_ref, i_ref, o_ref, *, sentinel: int, scale):
+    _softmax_body(
+        v_ref[:].astype(jnp.float32), i_ref[:] != sentinel, o_ref, scale
+    )
+
+
+def _softmax_counts_kernel(v_ref, c_ref, o_ref, *, scale):
+    v = v_ref[:].astype(jnp.float32)
+    nc, w, lanes = v.shape
+    # Valid slots are a PREFIX of the width axis per (chunk, row): the
+    # mask comes from the tiny (nc, 128) counts tile instead of the full
+    # int32 indices rectangle — one slot pass of HBM traffic saved.
+    slot = jax.lax.broadcasted_iota(jnp.int32, (nc, w, lanes), 1)
+    _softmax_body(v, slot < c_ref[:][:, None, :], o_ref, scale)
 
 
 _NEG = -1e30
@@ -565,12 +579,30 @@ def sparse_softmax(
     scale: float | None = None,
     interpret: bool | None = None,
 ):
-    """Row softmax over a SELL matrix's valid slots, one fused pass."""
+    """Row softmax over a SELL matrix's valid slots, one fused pass.
+
+    With ``m.slot_counts`` present (any ``from_csr``-built matrix) the
+    mask is derived from the per-(chunk, row) counts and the indices
+    rectangle never streams: 2 slot passes of traffic instead of 3."""
     interpret = use_interpret() if interpret is None else interpret
     nc, w, rp = m.values.shape
     if w == 0 or rp == 0:
         return m
     tiles = rp // 128
+    if m.slot_counts is not None:
+        f = pl.pallas_call(
+            functools.partial(_softmax_counts_kernel, scale=scale),
+            grid=(tiles,),
+            in_specs=[
+                pl.BlockSpec((nc, w, 128), lambda t: (0, 0, t)),
+                pl.BlockSpec((nc, 128), lambda t: (0, t)),
+            ],
+            out_specs=pl.BlockSpec((nc, w, 128), lambda t: (0, 0, t)),
+            out_shape=jax.ShapeDtypeStruct((nc, w, rp), m.values.dtype),
+            compiler_params=compiler_params(("parallel",)),
+            interpret=interpret,
+        )
+        return m.with_values(f(m.values, m.slot_counts))
     f = pl.pallas_call(
         functools.partial(_softmax_kernel, sentinel=m.chunk, scale=scale),
         grid=(tiles,),

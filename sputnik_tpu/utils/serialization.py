@@ -40,6 +40,8 @@ def save_matrix(path: str, m) -> None:
             arrays["tile_widths"] = m.tile_widths
         if m.row_perm is not None:
             arrays["row_perm"] = m.row_perm
+        if m.slot_counts is not None:
+            arrays["slot_counts"] = m.slot_counts
     elif isinstance(m, CsrMatrix):
         kind, meta = "csr", {"shape": m.shape}
         arrays = {"values": m.values, "indices": m.indices, "offsets": m.offsets}
@@ -87,5 +89,6 @@ def load_matrix(path: str):
             pad_rows=meta["pad_rows"],
             tile_widths=arrays.get("tile_widths"),
             row_perm=arrays.get("row_perm"),
+            slot_counts=arrays.get("slot_counts"),
         )
     raise ValueError(f"unknown kind {kind!r} in {path}")

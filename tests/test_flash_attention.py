@@ -326,6 +326,22 @@ def test_flash_mha_rows_per_step(rng, causal, rows_per_step):
         flash_mha(q, k, v, topo, rows_per_step=3)  # 4 rows % 3 != 0
 
 
+def test_flash_mha_wrapper_odd_rows(rng):
+    """ODD query block-row counts route through flash_mha with the auto
+    rows_per_step=1 plan (round 5 — previously fell back to the vmapped
+    single-head kernel) and still match the unfused chain."""
+    h, t, dh = 2, 384, 128  # 3 block rows: 4 % and 2 % both fail -> R=1
+    topo = testing.random_bsr(rng, t, t, t * t // 3, 128, unordered=True)
+    q = jnp.asarray(rng.standard_normal((h, t, dh)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((h, t, dh)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((h, t, dh)).astype(np.float32))
+    out = attn.multihead_block_sparse_attention(q, k, v, topo, fused=True)
+    ref = attn.multihead_block_sparse_attention(q, k, v, topo)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=5e-3
+    )
+
+
 def test_flash_mha_empty_row_pair(rng):
     """A pair whose rows have no topology blocks stays zero."""
     from sputnik_tpu.formats import BlockSparseMatrix

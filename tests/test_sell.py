@@ -250,3 +250,25 @@ def test_softmax_pallas_variant_matches_jnp(rng):
     np.testing.assert_allclose(
         np.asarray(out_p.values, np.float32),
         np.asarray(out_j.values, np.float32), atol=1e-5)
+
+
+def test_softmax_counts_kernel_matches(rng):
+    """The round-5 counts-masked Pallas softmax (mask from slot_counts,
+    the int32 indices rectangle never streams) matches the jnp oracle;
+    a matrix WITHOUT slot_counts (shard-local construction) falls back
+    to the sentinel-mask kernel with identical results."""
+    import dataclasses
+    from sputnik_tpu.kernels import sell as sell_kernels
+
+    c = testing.random_csr(rng, 384, 384, 6000)
+    for sort_rows in (False, True):
+        s = SellMatrix.from_csr(c, sort_rows=sort_rows)
+        assert s.slot_counts is not None
+        ref = csr_ops.sparse_softmax(s, scale=0.5)
+        out_c = sell_kernels.sparse_softmax(s, scale=0.5)
+        out_i = sell_kernels.sparse_softmax(
+            dataclasses.replace(s, slot_counts=None), scale=0.5)
+        for out in (out_c, out_i):
+            np.testing.assert_allclose(
+                np.asarray(out.values, np.float32),
+                np.asarray(ref.values, np.float32), atol=1e-5)
