@@ -86,7 +86,7 @@ def run(t: int = 2048, heads: int = 8, dh: int = 128, window: int = 8,
         )
 
     # Multi-head (rows_per_step, group) grid.
-    for r in (1, 2, 4):
+    for r in (1, 2, 4, 8):
         for g in (2, 4, 8):
             add(
                 f"flash_mha_r{r}_g{g}",
