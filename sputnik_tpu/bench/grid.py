@@ -325,6 +325,14 @@ def main():
                   f"{frac} |")
     with open(args.out, "w") as f:
         json.dump(rows, f, indent=2)
+    # Fault-recovery checkpoints are merged now — drop them so stale
+    # partials don't linger next to the merged artifact.
+    import os
+    for d in args.d:
+        try:
+            os.remove(f"{args.out}.partial_d{d}")
+        except OSError:
+            pass
     print(f"\n(written to {args.out})", file=sys.stderr)
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
@@ -541,6 +542,12 @@ def main():
         rows = _merge_into_out(rows)
     with open(args.out, "w") as f:
         json.dump(rows, f, indent=2)
+    # The row-by-row checkpoint is merged now — drop it so a stale
+    # partial doesn't linger next to the canonical artifact.
+    try:
+        os.remove(args.out + ".partial")
+    except OSError:
+        pass
     print(f"\n(written to {args.out})", file=sys.stderr)
 
 
