@@ -537,6 +537,16 @@ def _sdd_panel_can(a, b, topology, transpose_a=False, transpose_b=False,
         # output-stationary kernel keeps TN/TT.
         return False
     k_dim = a.shape[1]
+    if k_dim > 8192:
+        # Round-5 evidence at k=16384 (v5e): the full-K resident panel
+        # never completed a remote compile (>10-minute compiles observed
+        # before the attempt was killed), while the k-tiled
+        # output-stationary kernel compiles and measures equal-or-better
+        # at this scale (0.15-0.33 of SoL across densities,
+        # bsr_grid_results.json). Cap first-fit at the largest VERIFIED
+        # K so an untuned dispatch never risks the pathological compile;
+        # explicit variant= still reaches the panel kernel.
+        return False
     # Needs concrete metadata (host plan) and a valid A row-group panel
     # within the VMEM budget; larger K falls back to the k-tiled kernel.
     return (
