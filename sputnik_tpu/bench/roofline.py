@@ -495,7 +495,6 @@ def main():
         # Merge BY OP into whatever --out already holds: a fault-recovery
         # partial or an --only subset must never clobber prior rows (a
         # round-4 fault+replace lost a 14-row batch exactly that way).
-        import os
         prev = []
         if os.path.exists(args.out):
             try:
@@ -513,7 +512,6 @@ def main():
     except Exception:
         # Setup code between rows touched a poisoned device; publish the
         # measured prefix (flushed row-by-row) before re-raising.
-        import os
         if os.path.exists(args.out + ".partial"):
             with open(args.out + ".partial") as f:
                 partial = json.load(f)

@@ -495,11 +495,13 @@ def flash_mha(
     ``rows_per_step`` / ``group``: the forward strip shape — each grid step
     owns ``rows_per_step`` query block-rows and streams ``group`` union
     columns, issuing one (rows_per_step*bs, dh, group*bs) score dot
-    (``bench.flash_sweep`` measures the grid of both; (4, 8) won the
-    round-5 sweep at T=2048 — 138.8 vs the old (2, 4) default's 155 us —
-    exactly the MXU shape law's prediction: bm = rows*bs drives per-dot
-    efficiency). ``rows_per_step=None`` picks the largest of 4/2/1 that
-    divides the query block-row count.
+    (``bench.flash_sweep`` measures the grid of both; (8, 8) won the
+    round-5 sweep at T=2048 — 130.2 us / 0.57 vs the old (2, 4)
+    default's 154.5 / 0.48, train step 0.864 of SoL — exactly the MXU
+    shape law's prediction: bm = rows*bs and bn = group*bs drive per-dot
+    efficiency, and they must grow TOGETHER: r8_g2 collapses to 0.21).
+    ``rows_per_step=None`` picks the largest of 8/4/2/1 that divides the
+    query block-row count.
     """
     if scale is None:
         scale = 1.0 / float(np.sqrt(q.shape[-1]))
@@ -507,7 +509,9 @@ def flash_mha(
     causal = bool(causal)
     n_rows = topology.rows // topology.block_size
     if rows_per_step is None:
-        rows_per_step = 4 if n_rows % 4 == 0 else (2 if n_rows % 2 == 0 else 1)
+        rows_per_step = next(
+            (r for r in (8, 4, 2) if n_rows % r == 0), 1
+        )
     R = int(rows_per_step)
     if R < 1 or R > 8:
         raise ValueError(f"rows_per_step must be in 1..8, got {R}")

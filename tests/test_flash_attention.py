@@ -284,13 +284,15 @@ def test_flash_mha_matches_unfused(rng, causal):
 
 
 @pytest.mark.parametrize("causal", [False, True])
-@pytest.mark.parametrize("rows_per_step", [1, 4])
+@pytest.mark.parametrize("rows_per_step", [1, 4, 8])
 def test_flash_mha_rows_per_step(rng, causal, rows_per_step):
-    """The quad/single-row strip variants (round-5 MXU-shape lever) match
-    the unfused chain, forward and grads."""
+    """The 8/4/1-row strip variants (round-5 MXU-shape lever; (8, 8) is
+    the sweep winner and the auto default) match the unfused chain,
+    forward and grads."""
     from sputnik_tpu.kernels.flash_mha import flash_mha
 
-    h, t, dh = 2, 512, 128
+    h, dh = 2, 128
+    t = 1024 if rows_per_step == 8 else 512
     if causal:
         topo = attn.causal_block_topology(t, 128, window_blocks=2,
                                           dtype=jnp.float32)
@@ -323,7 +325,7 @@ def test_flash_mha_rows_per_step(rng, causal, rows_per_step):
         np.asarray(jax.grad(loss_r)(q), np.float32), atol=5e-2,
     )
     with pytest.raises(ValueError):
-        flash_mha(q, k, v, topo, rows_per_step=3)  # 4 rows % 3 != 0
+        flash_mha(q, k, v, topo, rows_per_step=3)  # 4/8 rows % 3 != 0
 
 
 def test_flash_mha_wrapper_odd_rows(rng):
