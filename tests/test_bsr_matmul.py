@@ -668,6 +668,30 @@ def test_dense_detour_dispatch(rng):
     assert registry.dispatch_name("dds", b, dense_b) == "xla_dense_detour"
 
 
+def test_sdd_panel_k_cap_dispatch():
+    """The full-K resident SDD panel never completed a k=16384 remote
+    compile (round 5); first-fit must not route huge-K problems to it.
+    Metadata-only check (no 16384^2 data materialized): can_implement
+    sees shapes and topology metadata."""
+    from sputnik_tpu.formats import BlockSparseMatrix
+    from sputnik_tpu.ops.matmul import _sdd_panel_can
+
+    d = 16384
+    nb = 8
+    data = jnp.zeros((nb, 128, 128), jnp.bfloat16)
+    offsets = jnp.asarray(
+        np.linspace(0, nb, d // 128 + 1).astype(np.int32))
+    cols = jnp.asarray(np.arange(nb, dtype=np.int32))
+    topo = BlockSparseMatrix.create(data, offsets, cols, (d, d))
+    a = jax.ShapeDtypeStruct((d, d), jnp.bfloat16)
+    b = jax.ShapeDtypeStruct((d, d), jnp.bfloat16)
+    assert not _sdd_panel_can(a, b, topo)
+    # The verified size still qualifies (same topology, k=8192 operand).
+    a8 = jax.ShapeDtypeStruct((d, 8192), jnp.bfloat16)
+    topo8 = BlockSparseMatrix.create(data, offsets, cols, (d, d))
+    assert _sdd_panel_can(a8, b, topo8)
+
+
 @pytest.mark.parametrize("ta,tb", [(False, False), (True, True)])
 def test_sss(rng, ta, tb):
     """SSS (sparse = sparse @ sparse, masked to a topology) — beyond the
